@@ -1,0 +1,28 @@
+"""TPU-native all-sources personalized PageRank framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+fruttasecca/approximated_personalized_pagerank: GRank, MCCompletePathV2, the
+exact single-source PPR oracle, and the benchmark/recall harness — built on
+CSR adjacency in HBM, fixed-width basket arrays, batched sort-merge kernels,
+and pjit sharding over the node dimension.
+"""
+
+from .graph import Graph, load_csv_graph
+from .models.common import baskets_to_dict, device_graph
+from .models.grank import grank, grank_baskets
+from .models.ppr_single_source import ppr_single_source, ppr_single_source_batch
+from .ops.basket import Baskets
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "load_csv_graph",
+    "grank",
+    "grank_baskets",
+    "ppr_single_source",
+    "ppr_single_source_batch",
+    "baskets_to_dict",
+    "device_graph",
+    "Baskets",
+]

@@ -1,0 +1,170 @@
+"""GRank: all-sources top-K personalized PageRank by iterative basket merging.
+
+Reference: ``ppr::grank`` (include/grank.h:42-150).  Semantics preserved:
+
+* init: ``scores[v] = keepTop_L({v: 1-damping} + {succ: += damping/outdeg})``
+  (include/grank.h:64-83);
+* the main loop sweeps ONE partition per iteration (``iterations`` counts
+  half-sweeps); the untouched partition's baskets carry over, so a node reads
+  t-1 data from the other partition and t-2 data from its own
+  (include/grank.h:92-140, thesis Fig. 4.2);
+* two ``maxDiff`` slots — one per partition — prevent a trivial partition
+  from terminating the loop before the other ran (include/grank.h:87-92);
+* negative tolerance disables the early stop entirely (include/grank.h:37-39);
+* final ``keepTop(K)`` truncation (include/grank.h:143-147).
+
+TPU formulation: baskets are ``[N, L]`` id/score arrays; each half-sweep is a
+single jitted program over the active partition's degree buckets (gather →
+sort-merge → top-L, see ops/merge.py); convergence is a max-reduce returned
+to the host.  The partition-alternating structure is what makes the sweep a
+pure gather (reads only the *old* basket tensor) — no intra-sweep hazards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Hashable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import Graph
+from ..ops.basket import Baskets, empty_baskets, keep_top
+from ..ops.merge import DEFAULT_ELEM_BUDGET, DeviceBucket, device_plan, merge_sweep
+from ..utils.validation import check_basket_params, check_damping, check_iterations
+from .common import baskets_to_dict
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "num_rows", "compute_diff", "elem_budget"),
+)
+def _init_step(
+    basket: Baskets,
+    buckets: Tuple[DeviceBucket, ...],
+    damping: jax.Array,
+    L: int,
+    num_rows: int,
+    elem_budget: int,
+    compute_diff: bool = False,
+) -> Baskets:
+    out, _ = merge_sweep(
+        None,
+        buckets,
+        damping,
+        L,
+        num_rows,
+        mode="grank",
+        compute_diff=False,
+        out_basket=basket,
+        elem_budget=elem_budget,
+    )
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "num_rows", "compute_diff", "elem_budget"),
+)
+def _half_sweep(
+    basket: Baskets,
+    buckets: Tuple[DeviceBucket, ...],
+    damping: jax.Array,
+    L: int,
+    num_rows: int,
+    compute_diff: bool,
+    elem_budget: int,
+) -> Tuple[Baskets, jax.Array]:
+    return merge_sweep(
+        basket,
+        buckets,
+        damping,
+        L,
+        num_rows,
+        mode="grank",
+        compute_diff=compute_diff,
+        elem_budget=elem_budget,
+    )
+
+
+def _set_dangling(basket: Baskets, rows: np.ndarray, damping: float) -> Baskets:
+    """Dangling nodes' baskets are exactly {v: 1-damping}, forever."""
+    if rows.size == 0:
+        return basket
+    rows_d = jnp.asarray(rows, dtype=jnp.int32)
+    ids = basket.ids.at[rows_d, 0].set(rows_d)
+    scores = basket.scores.at[rows_d, 0].set(1.0 - float(damping))
+    return Baskets(ids, scores)
+
+
+def grank_baskets(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    tolerance: float,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Baskets:
+    """GRank returning ``[N, K]`` basket arrays over internal node ids."""
+    check_basket_params(K, L)
+    check_iterations(iterations)
+    check_damping(damping)
+
+    n = graph.num_nodes
+    if n == 0:
+        return empty_baskets(0, K)
+
+    plans = [graph.merge_plan(0), graph.merge_plan(1)]
+    dev_buckets = [device_plan(p, n) for p in plans]
+    all_buckets = dev_buckets[0] + dev_buckets[1]
+    damping_d = jnp.float32(damping)
+
+    basket = empty_baskets(n, L)
+    basket = _set_dangling(
+        basket,
+        np.concatenate([plans[0].dangling_rows, plans[1].dangling_rows]),
+        damping,
+    )
+    basket = _init_step(basket, all_buckets, damping_d, L, n, elem_budget)
+
+    compute_diff = tolerance >= 0
+    # Per-partition maxDiff slots, initialised to the tolerance so each
+    # partition gets at least one sweep (include/grank.h:87-92).
+    max_diff = [tolerance, tolerance]
+    active = 0
+    i = 0
+    while i < iterations and max(max_diff) >= tolerance:
+        basket, d = _half_sweep(
+            basket,
+            dev_buckets[active],
+            damping_d,
+            L,
+            n,
+            compute_diff,
+            elem_budget,
+        )
+        max_diff[0] = float(d) if compute_diff else 0.0
+        active = 1 - active
+        max_diff[0], max_diff[1] = max_diff[1], max_diff[0]
+        i += 1
+
+    return keep_top(basket.ids, basket.scores, K)
+
+
+def grank(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    tolerance: float,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Dict[Hashable, Dict[Hashable, float]]:
+    """GRank with the reference's call signature and map-of-maps result
+    (include/grank.h:42-48)."""
+    return baskets_to_dict(
+        grank_baskets(graph, K, L, iterations, damping, tolerance, elem_budget),
+        graph,
+    )

@@ -1,0 +1,234 @@
+"""Batched successor-basket merge: the TPU-native form of GRank's hot loop.
+
+Reference semantics (include/grank.h:96-126): for each node ``v`` of the
+active partition build ``currentMap = {v: 1-damping}``, then for every
+successor ``s`` add ``damping/outdeg(v) * scores[s][k]`` for each of the up to
+``L`` entries ``k`` of ``s``'s basket, truncate to top-L, and record the L1
+change.  The same machinery with different scaling implements
+MCCompletePathV2's combine step (include/mccompletepathv2.h:211-250) and
+GRank's initialisation (include/grank.h:64-83).
+
+TPU formulation: nodes are grouped into degree buckets (static shapes).  For
+one bucket of ``C`` nodes with successor matrix ``succ[C, D]``:
+
+1. gather the successors' baskets -> ``[C, D, L]`` candidate (id, score) pairs
+2. scale, flatten to ``[C, D*L]``, append the self entry -> ``[C, W]``
+3. row-sort by id, collapse duplicate-id runs with a segmented prefix sum
+4. ``top_L`` truncate; optionally L1-diff against the old basket rows
+
+Memory is bounded by processing each bucket in row chunks under
+``lax.map`` so ``chunk * W`` stays below a fixed element budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .basket import (
+    SENTINEL,
+    Baskets,
+    combine_sorted_runs,
+    keep_top,
+    norm1_rows,
+    sort_rows_by_id,
+)
+
+# Max elements in a candidate matrix chunk (ids+scores+sort temps scale this).
+DEFAULT_ELEM_BUDGET = 1 << 22
+
+
+class DeviceBucket(NamedTuple):
+    """Device-resident ELL bucket (see graph.MergePlan)."""
+
+    rows: jax.Array  # int32[C]   node ids, padded with num_nodes
+    succ: jax.Array  # int32[C,D] successor ids, padded with -1
+
+
+def device_plan(plan, num_nodes: int) -> Tuple[DeviceBucket, ...]:
+    """Upload a host MergePlan's buckets; pad rows with ``num_nodes``."""
+    out = []
+    for b in plan.buckets:
+        out.append(
+            DeviceBucket(
+                rows=jnp.asarray(b.rows, dtype=jnp.int32),
+                succ=jnp.asarray(b.succ, dtype=jnp.int32),
+            )
+        )
+    return tuple(out)
+
+
+def _bucket_candidates(
+    basket: Baskets | None,
+    rows: jax.Array,
+    succ: jax.Array,
+    damping: jax.Array,
+    mode: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Build the [C, W] candidate (ids, scores) matrix plus per-row post-scale.
+
+    ``mode``:
+      * ``"grank"``      — candidates are successor basket entries scaled by
+        damping/outdeg, self entry ``1-damping`` (include/grank.h:100-116).
+        ``basket=None`` means *init*: each successor contributes a singleton
+        ``{s: 1}`` instead of its basket (include/grank.h:64-83).
+      * ``"mc_combine"`` — candidates are successor baskets unscaled, self
+        entry ``1/factor`` with ``factor = damping/outdeg``, and the whole
+        result is scaled by ``factor`` after truncation
+        (include/mccompletepathv2.h:213-249).
+    """
+    c, d = succ.shape
+    deg = jnp.sum(succ >= 0, axis=-1).astype(jnp.float32)  # >=1 in buckets
+    factor = damping / jnp.maximum(deg, 1.0)
+    valid = succ >= 0
+    safe = jnp.where(valid, succ, 0)
+    if basket is None:
+        cand_ids = jnp.where(valid, succ, SENTINEL)  # [C, D]
+        cand_scores = jnp.where(valid, 1.0, 0.0).astype(jnp.float32)
+    else:
+        cand_ids = basket.ids[safe]  # [C, D, L]
+        cand_scores = basket.scores[safe]
+        slot_valid = valid[..., None] & (cand_ids >= 0)
+        cand_ids = jnp.where(slot_valid, cand_ids, SENTINEL)
+        cand_scores = jnp.where(slot_valid, cand_scores, 0.0)
+        cand_ids = cand_ids.reshape(c, -1)
+        cand_scores = cand_scores.reshape(c, -1)
+    if mode == "grank":
+        cand_scores = cand_scores * factor[:, None]
+        self_scores = jnp.broadcast_to(1.0 - damping, (c,)).astype(jnp.float32)
+        post_scale = jnp.ones((c,), dtype=jnp.float32)
+    elif mode == "mc_combine":
+        self_scores = (1.0 / factor).astype(jnp.float32)
+        post_scale = factor.astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    ids = jnp.concatenate([cand_ids, rows[:, None].astype(jnp.int32)], axis=-1)
+    scores = jnp.concatenate([cand_scores, self_scores[:, None]], axis=-1)
+    return ids, scores, post_scale
+
+
+def merge_bucket(
+    basket: Baskets | None,
+    rows: jax.Array,
+    succ: jax.Array,
+    damping: jax.Array,
+    L: int,
+    mode: str = "grank",
+    old: Baskets | None = None,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Tuple[Baskets, jax.Array]:
+    """Merged top-L baskets for one degree bucket, plus per-row L1 diff.
+
+    ``old`` (rows gathered from the current basket set) enables the
+    convergence diff (include/grank.h:123); without it the diff is zeros.
+    Rows padded with out-of-range ids produce garbage that callers drop via
+    scatter ``mode='drop'``; their diff is masked to 0 here.
+    """
+    c, d = succ.shape
+    width = 1 + (d if basket is None else d * basket.width)
+    chunk = int(max(1, min(c, elem_budget // max(width, 1))))
+    n_chunks = -(-c // chunk)
+    pad = n_chunks * chunk - c
+
+    num_nodes = None
+    if pad:
+        rows_p = jnp.pad(rows, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
+        succ_p = jnp.pad(succ, ((0, pad), (0, 0)), constant_values=SENTINEL)
+    else:
+        rows_p, succ_p = rows, succ
+
+    def one_chunk(args):
+        rows_c, succ_c, old_c = args
+        ids, scores, post = _bucket_candidates(
+            basket, rows_c, succ_c, damping, mode
+        )
+        ids, scores = sort_rows_by_id(ids, scores)
+        ids, scores = combine_sorted_runs(ids, scores)
+        new = keep_top(ids, scores, L)
+        new = Baskets(new.ids, new.scores * post[:, None])
+        if old_c is not None:
+            diff = norm1_rows(new, old_c)
+        else:
+            diff = jnp.zeros((rows_c.shape[0],), dtype=jnp.float32)
+        return new.ids, new.scores, diff
+
+    if old is not None:
+        old_p = Baskets(
+            ids=jnp.pad(old.ids, ((0, pad), (0, 0)), constant_values=SENTINEL)
+            if pad
+            else old.ids,
+            scores=jnp.pad(old.scores, ((0, pad), (0, 0))) if pad else old.scores,
+        )
+    else:
+        old_p = None
+
+    if n_chunks == 1:
+        out_ids, out_scores, diff = one_chunk((rows_p, succ_p, old_p))
+    else:
+        rows_r = rows_p.reshape(n_chunks, chunk)
+        succ_r = succ_p.reshape(n_chunks, chunk, d)
+        if old_p is not None:
+            old_r = Baskets(
+                old_p.ids.reshape(n_chunks, chunk, -1),
+                old_p.scores.reshape(n_chunks, chunk, -1),
+            )
+        else:
+            old_r = None
+        out_ids, out_scores, diff = jax.lax.map(
+            one_chunk, (rows_r, succ_r, old_r)
+        )
+        out_ids = out_ids.reshape(n_chunks * chunk, L)
+        out_scores = out_scores.reshape(n_chunks * chunk, L)
+        diff = diff.reshape(n_chunks * chunk)
+
+    if pad:
+        out_ids = out_ids[:c]
+        out_scores = out_scores[:c]
+        diff = diff[:c]
+    return Baskets(out_ids, out_scores), diff
+
+
+def merge_sweep(
+    basket: Baskets | None,
+    buckets: Sequence[DeviceBucket],
+    damping: jax.Array,
+    L: int,
+    num_rows: int,
+    mode: str = "grank",
+    compute_diff: bool = False,
+    out_basket: Baskets | None = None,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Tuple[Baskets, jax.Array]:
+    """One full merge sweep over a bucket list (one partition, or all nodes).
+
+    Reads ``basket`` (old values only — updates are applied after every bucket
+    is computed, preserving the reference's read-old/write-new semantics) and
+    scatters results into ``out_basket`` (defaults to ``basket``).  Returns
+    the updated basket set and the max per-row L1 diff (0 if not requested).
+    """
+    updates = []
+    max_diff = jnp.float32(0.0)
+    for b in buckets:
+        old = (
+            Baskets(basket.ids[b.rows], basket.scores[b.rows])
+            if (compute_diff and basket is not None)
+            else None
+        )
+        new, diff = merge_bucket(
+            basket, b.rows, b.succ, damping, L, mode=mode, old=old,
+            elem_budget=elem_budget,
+        )
+        updates.append((b.rows, new))
+        if compute_diff:
+            max_diff = jnp.maximum(
+                max_diff, jnp.max(diff, initial=0.0, where=b.rows < num_rows)
+            )
+    target = out_basket if out_basket is not None else basket
+    ids, scores = target.ids, target.scores
+    for rows, new in updates:
+        ids = ids.at[rows].set(new.ids, mode="drop")
+        scores = scores.at[rows].set(new.scores, mode="drop")
+    return Baskets(ids, scores), max_diff
