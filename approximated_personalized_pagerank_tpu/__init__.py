@@ -8,10 +8,13 @@ and pjit sharding over the node dimension.
 """
 
 from .graph import Graph, load_csv_graph
+from .models.benchmark import benchmark_algorithm
 from .models.common import baskets_to_dict, device_graph
-from .models.grank import grank, grank_baskets
+from .models.grank import grank, grank_baskets, grank_multi, grank_multi_baskets
+from .models.mccompletepathv2 import mccompletepathv2, mccompletepathv2_baskets
 from .models.ppr_single_source import ppr_single_source, ppr_single_source_batch
 from .ops.basket import Baskets
+from .utils.order import execution_order
 
 __version__ = "0.1.0"
 
@@ -20,9 +23,15 @@ __all__ = [
     "load_csv_graph",
     "grank",
     "grank_baskets",
+    "grank_multi",
+    "grank_multi_baskets",
+    "mccompletepathv2",
+    "mccompletepathv2_baskets",
     "ppr_single_source",
     "ppr_single_source_batch",
+    "benchmark_algorithm",
     "baskets_to_dict",
     "device_graph",
     "Baskets",
+    "execution_order",
 ]

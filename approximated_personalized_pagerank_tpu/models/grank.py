@@ -106,8 +106,14 @@ def grank_baskets(
     damping: float,
     tolerance: float,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
+    mesh=None,
 ) -> Baskets:
-    """GRank returning ``[N, K]`` basket arrays over internal node ids."""
+    """GRank returning ``[N, K]`` basket arrays over internal node ids.
+
+    With ``mesh`` the basket arrays are row-sharded over the mesh's node
+    axis (see parallel/mesh.py) and XLA partitions every sweep across the
+    devices — the data-parallel successor of grankMulti's thread chunking.
+    """
     check_basket_params(K, L)
     check_iterations(iterations)
     check_damping(damping)
@@ -127,6 +133,16 @@ def grank_baskets(
         np.concatenate([plans[0].dangling_rows, plans[1].dangling_rows]),
         damping,
     )
+    if mesh is not None:
+        from ..parallel.mesh import replicated, row_sharding
+
+        basket = Baskets(
+            jax.device_put(basket.ids, row_sharding(mesh)),
+            jax.device_put(basket.scores, row_sharding(mesh)),
+        )
+        dev_buckets = jax.device_put(dev_buckets, replicated(mesh))
+        all_buckets = dev_buckets[0] + dev_buckets[1]
+        damping_d = jax.device_put(damping_d, replicated(mesh))
     basket = _init_step(basket, all_buckets, damping_d, L, n, elem_budget)
 
     compute_diff = tolerance >= 0
@@ -166,5 +182,46 @@ def grank(
     (include/grank.h:42-48)."""
     return baskets_to_dict(
         grank_baskets(graph, K, L, iterations, damping, tolerance, elem_budget),
+        graph,
+    )
+
+
+def grank_multi_baskets(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    tolerance: float,
+    n_shards: int,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Baskets:
+    """Sharded GRank over ``n_shards`` devices — the TPU successor of
+    ``grankMulti`` (header-only/grankMulti.h:289-296): node ranges owned per
+    device, cross-shard basket reads via XLA collectives, convergence via a
+    global max-reduce."""
+    from ..utils.validation import check_shards
+    from ..parallel.mesh import make_mesh
+
+    check_shards(n_shards)
+    mesh = make_mesh(n_shards)
+    return grank_baskets(
+        graph, K, L, iterations, damping, tolerance, elem_budget, mesh=mesh
+    )
+
+
+def grank_multi(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    tolerance: float,
+    n_shards: int,
+) -> Dict[Hashable, Dict[Hashable, float]]:
+    """grankMulti-shaped API (graph, K, L, iterations, damping, tolerance,
+    parallelism degree) returning the reference's map-of-maps."""
+    return baskets_to_dict(
+        grank_multi_baskets(graph, K, L, iterations, damping, tolerance, n_shards),
         graph,
     )

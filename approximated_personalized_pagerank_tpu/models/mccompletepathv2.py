@@ -1,0 +1,119 @@
+"""MCCompletePathV2: all-sources top-K PPR from shared Monte-Carlo walks.
+
+Reference: ``ppr::mccompletepathv2`` (include/mccompletepathv2.h:182-258).
+The reference walks nodes *lazily* in a heuristic execution order
+(``executionOrder``, mccompletepathv2.h:36-113) so that a node's combine step
+(``map = {v: 1/factor} + sum of successors' baskets; keepTop(L); *factor``,
+mccompletepathv2.h:211-250) can reuse successors' results.  That ordering
+exists only to economize *serial* walk time; the TPU-native formulation walks
+**all sources in parallel** (ops/walk.py) and then performs the combine as
+one batched merge sweep — walk-count parity (R per node) is preserved.
+
+Optional ``combine_passes > 1`` re-applies the combine using the previous
+pass's results for every successor, the parallel-schedule analogue of the
+reference's propagation of final results along its execution order.
+
+Deliberate divergences (documented in README):
+* uniform random successor choice instead of the serial rotating index
+  (thesis p.7: <=5% precision at low walk counts);
+* no in-walk L-cap — full counts are kept then truncated, a strict quality
+  improvement over dropping visits (mccompletepathv2.h:152-153);
+* results are deterministic given ``seed`` (the reference's module-level
+  mt19937 is entropy-seeded, mccompletepathv2.h:32-34).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Hashable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import Graph
+from ..ops.basket import Baskets, empty_baskets, keep_top
+from ..ops.merge import DEFAULT_ELEM_BUDGET, device_plan, merge_sweep
+from ..ops.walk import walk_baskets
+from ..utils.validation import check_basket_params, check_damping, check_iterations
+from .common import baskets_to_dict
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "num_rows", "elem_budget")
+)
+def _combine_pass(
+    basket: Baskets,
+    buckets,
+    damping: jax.Array,
+    L: int,
+    num_rows: int,
+    elem_budget: int,
+) -> Baskets:
+    out, _ = merge_sweep(
+        basket,
+        buckets,
+        damping,
+        L,
+        num_rows,
+        mode="mc_combine",
+        compute_diff=False,
+        elem_budget=elem_budget,
+    )
+    return out
+
+
+def mccompletepathv2_baskets(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    seed: int | None = None,
+    combine_passes: int = 1,
+    elem_budget: int = DEFAULT_ELEM_BUDGET,
+) -> Baskets:
+    """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
+
+    ``iterations`` is R — the number of Monte-Carlo walks per node in the
+    worst case (include/mccompletepathv2.h:186).
+    """
+    check_basket_params(K, L)
+    check_iterations(iterations)
+    check_damping(damping)
+    if combine_passes < 1:
+        raise ValueError("combine_passes must be positive")
+
+    n = graph.num_nodes
+    if n == 0:
+        return empty_baskets(0, K)
+
+    basket = walk_baskets(graph, L, iterations, damping, seed=seed)
+    plan = graph.merge_plan(None)
+    buckets = device_plan(plan, n)
+    damping_d = jnp.float32(damping)
+    for _ in range(combine_passes):
+        basket = _combine_pass(basket, buckets, damping_d, L, n, elem_budget)
+    # dangling nodes keep their walk basket {v: 1.0}
+    # (mccompletepathv2.h:213-214: factor = 1.0, no successor contributions).
+    return keep_top(basket.ids, basket.scores, K)
+
+
+def mccompletepathv2(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    seed: int | None = None,
+    combine_passes: int = 1,
+) -> Dict[Hashable, Dict[Hashable, float]]:
+    """MCCompletePathV2 with the reference call signature and map-of-maps
+    result (include/mccompletepathv2.h:182-187)."""
+    return baskets_to_dict(
+        mccompletepathv2_baskets(
+            graph, K, L, iterations, damping, seed=seed,
+            combine_passes=combine_passes,
+        ),
+        graph,
+    )

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Headline benchmark: all-sources GRank on the Eat graph, on TPU.
+
+Reproduces the reference driver's canonical config — grank(K=50, L=100,
+30 iterations, damping 0.85, tolerance 1e-4) on the Eat word-association
+graph (23,132 nodes / 312,310 edges, /root/reference/example.txt) — and
+prints ONE JSON line with the wall-clock and the speedup over the reference
+C++ implementation measured on this host.
+
+Baseline (reference built with g++ -O3 -march=native, run on this machine):
+    grank (serial)        40,957 ms   jaccard avg 0.909
+    grankMulti (4 threads) 22,636 ms  jaccard avg 0.925
+    mccompletepathv2        7,195 ms  jaccard avg 0.944
+``vs_baseline`` compares against the serial grank (the same algorithm);
+the multi-thread number is reported alongside for context.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import numpy as np
+
+from approximated_personalized_pagerank_tpu import (
+    Graph,
+    benchmark_algorithm,
+    grank_baskets,
+    load_csv_graph,
+)
+
+REFERENCE_GRANK_MS = 40957.0  # serial C++ grank, this host (see docstring)
+REFERENCE_GRANK_MULTI_MS = 22636.0
+EAT_PATH = "/root/reference/example.txt"
+
+K, L, ITERS, DAMPING, TOL = 50, 100, 30, 0.85, 1e-4
+
+
+def load_graph():
+    if os.path.exists(EAT_PATH):
+        return load_csv_graph(EAT_PATH), "eat"
+    # fallback: synthetic graph of the same scale
+    rng = np.random.default_rng(0)
+    n, e = 23132, 312310
+    return (
+        Graph.from_edges(
+            rng.integers(0, n, size=e), rng.integers(0, n, size=e), num_nodes=n
+        ),
+        "synthetic",
+    )
+
+
+def main():
+    graph, dataset = load_graph()
+
+    # Warm-up: compile all bucket programs (excluded from the timing — the
+    # persistent cache makes this cheap on repeat runs).  Must use the same
+    # tolerance mode as the timed run (the diff changes the program).
+    grank_baskets(graph, K, L, 2, DAMPING, TOL).ids.block_until_ready()
+
+    t0 = time.time()
+    baskets = grank_baskets(graph, K, L, ITERS, DAMPING, TOL)
+    baskets.ids.block_until_ready()
+    elapsed = time.time() - t0
+
+    stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
+    merges = graph.num_edges * L * ITERS  # basket-merge slot updates
+    result = {
+        "metric": "grank_eat_wall_time",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_GRANK_MS / 1000.0 / elapsed, 2),
+        "extra": {
+            "dataset": dataset,
+            "device": str(jax.devices()[0]),
+            "vs_grank_multi_4t": round(
+                REFERENCE_GRANK_MULTI_MS / 1000.0 / elapsed, 2
+            ),
+            "basket_merges_per_s": round(merges / elapsed),
+            "jaccard_average": round(stats["jaccard average"], 4),
+            "jaccard_min": round(stats["jaccard min"], 4),
+            "kendall_average": round(stats["kendall average"], 4),
+            "recall_average": round(stats["recall average"], 4),
+            "average_map_size": round(stats["average map size"], 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

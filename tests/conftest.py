@@ -7,8 +7,9 @@ be set before jax is imported anywhere.
 
 import os
 
-# The sandbox presets JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
-# local CPU with virtual devices, so override unconditionally.
+# The sandbox presets JAX_PLATFORMS=axon (the TPU tunnel) and its
+# sitecustomize re-asserts it at interpreter startup, so the env var alone is
+# NOT enough — the config API below is what actually forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,6 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA compiles are slow in this sandbox;
 # caching them makes repeated test runs cheap.  (The env-var spelling is not
