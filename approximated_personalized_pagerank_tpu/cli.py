@@ -1,0 +1,122 @@
+"""Command-line entry point.
+
+The reference ships a hardcoded example binary (src/main.cc); this CLI is
+its parameterized equivalent:
+
+    python -m approximated_personalized_pagerank_tpu.cli \
+        --graph edges.csv --algorithm grank --K 50 --L 100 \
+        --iterations 30 --damping 0.85 --tolerance 1e-4 \
+        --test-nodes 200 --save baskets.npz
+
+Prints the run time and the benchmark statistics exactly like the example
+driver (src/main.cc:39-44).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from .config import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="approximated_personalized_pagerank_tpu",
+        description="TPU-native all-sources personalized PageRank",
+    )
+    p.add_argument("--graph", required=True, help="CSV edge list (node1,node2)")
+    p.add_argument(
+        "--algorithm",
+        default="grank",
+        choices=["grank", "grank_multi", "mccompletepathv2"],
+    )
+    p.add_argument("--K", type=int, default=50)
+    p.add_argument("--L", type=int, default=100)
+    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--tolerance", type=float, default=1e-4)
+    p.add_argument("--n-shards", type=int, default=1)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--combine-passes", type=int, default=1)
+    p.add_argument("--test-nodes", type=int, default=200)
+    p.add_argument("--no-strict", action="store_true")
+    p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--save", default=None, help="save baskets to .npz")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = RunConfig(
+        algorithm=args.algorithm,
+        K=args.K,
+        L=args.L,
+        iterations=args.iterations,
+        damping=args.damping,
+        tolerance=args.tolerance,
+        n_shards=args.n_shards,
+        seed=args.seed,
+        combine_passes=args.combine_passes,
+        test_nodes=args.test_nodes,
+        strict=not args.no_strict,
+    )
+    cfg.validate()
+
+    from . import (
+        benchmark_algorithm,
+        grank_baskets,
+        grank_multi_baskets,
+        load_csv_graph,
+        mccompletepathv2_baskets,
+    )
+    from .utils.checkpoint import save_baskets
+
+    graph = load_csv_graph(args.graph)
+    print(f"nodes: {graph.num_nodes} edges: {graph.num_edges}")
+
+    t0 = time.time()
+    if cfg.algorithm == "grank":
+        baskets = grank_baskets(
+            graph, cfg.K, cfg.L, cfg.iterations, cfg.damping, cfg.tolerance
+        )
+    elif cfg.algorithm == "grank_multi":
+        baskets = grank_multi_baskets(
+            graph,
+            cfg.K,
+            cfg.L,
+            cfg.iterations,
+            cfg.damping,
+            cfg.tolerance,
+            cfg.n_shards,
+        )
+    else:
+        baskets = mccompletepathv2_baskets(
+            graph,
+            cfg.K,
+            cfg.L,
+            cfg.iterations,
+            cfg.damping,
+            seed=cfg.seed,
+            combine_passes=cfg.combine_passes,
+        )
+    baskets.ids.block_until_ready()
+    print(f"{cfg.algorithm} run-time = {(time.time() - t0) * 1000:.0f} ms")
+
+    if not args.no_eval:
+        stats = benchmark_algorithm(
+            baskets, graph, cfg.test_nodes, cfg.strict, seed=cfg.seed
+        )
+        print("-------")
+        for k, v in stats.items():
+            print(f"{k}     {v:.6g}")
+        print("-------")
+
+    if args.save:
+        save_baskets(args.save, baskets, graph)
+        print(f"saved baskets to {args.save}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

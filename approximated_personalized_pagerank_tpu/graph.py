@@ -62,10 +62,18 @@ class MergePlan:
     dangling_rows: np.ndarray  # int32[D]
 
 
-def _ceil_pow2(x: np.ndarray) -> np.ndarray:
-    """Elementwise next power of two (>=1) for positive ints."""
+def _bucket_cap(x: np.ndarray) -> np.ndarray:
+    """Elementwise bucket capacity: quarter-octave rounding.
+
+    Degrees are rounded up to {1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20,
+    24, 28, 32, ...}: the next multiple of 2^(k-2) within each octave
+    [2^k, 2^(k+1)).  Bounds ELL padding waste at ~20% (vs ~50% for pure
+    pow2) while keeping the bucket count O(4 log maxdeg).
+    """
     x = np.maximum(x.astype(np.int64), 1)
-    return (1 << np.ceil(np.log2(x)).astype(np.int64)).astype(np.int64)
+    k = np.floor(np.log2(x)).astype(np.int64)
+    quarter = np.maximum(1 << np.maximum(k - 2, 0), 1)
+    return ((x + quarter - 1) // quarter) * quarter
 
 
 class Graph:
@@ -240,7 +248,15 @@ class Graph:
         partition, which only costs convergence speed, not correctness.
         """
         if self._partition is None:
-            self._partition = self._bfs_bipartition()
+            from .utils.io import native_bfs_bipartition
+
+            cindptr, cindices = self.csc
+            native = native_bfs_bipartition(
+                self.indptr, self.indices, cindptr, cindices
+            )
+            self._partition = (
+                native if native is not None else self._bfs_bipartition()
+            )
         return self._partition
 
     def _bfs_bipartition(self) -> np.ndarray:
@@ -290,7 +306,7 @@ class Graph:
         deg = self.out_degree[nodes].astype(np.int64)
         buckets: List[EllBucket] = []
         if nodes.size:
-            caps = _ceil_pow2(deg)
+            caps = _bucket_cap(deg)
             for cap in np.unique(caps):
                 sel = nodes[caps == cap]
                 cap = int(cap)

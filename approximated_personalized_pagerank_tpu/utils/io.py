@@ -26,22 +26,61 @@ def _native_lib():
         return _NATIVE
     _NATIVE_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for name in ("libppr_native.so",):
-        path = os.path.join(here, "native", name)
-        if os.path.exists(path):
-            try:
-                lib = ctypes.CDLL(path)
-                lib.ppr_parse_edge_csv.restype = ctypes.c_longlong
-                lib.ppr_parse_edge_csv.argtypes = [
-                    ctypes.c_char_p,
-                    ctypes.POINTER(ctypes.c_longlong),
-                    ctypes.c_longlong,
-                ]
-                _NATIVE = lib
-            except OSError:
-                _NATIVE = None
-            break
+    path = os.path.join(here, "native", "libppr_native.so")
+    if not os.path.exists(path):
+        # Build on demand when a toolchain is available (cheap, one file).
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(path), "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if os.path.exists(path):
+        try:
+            lib = ctypes.CDLL(path)
+            lib.ppr_parse_edge_csv.restype = ctypes.c_longlong
+            lib.ppr_parse_edge_csv.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.c_longlong,
+            ]
+            lib.ppr_bfs_bipartition.restype = None
+            lib.ppr_bfs_bipartition.argtypes = [
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            _NATIVE = lib
+        except OSError:
+            _NATIVE = None
     return _NATIVE
+
+
+def native_bfs_bipartition(indptr, indices, cindptr, cindices):
+    """2-coloring via the native BFS; returns None if the lib is missing."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    n = indptr.shape[0] - 1
+    color = np.empty(n, dtype=np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.ppr_bfs_bipartition(
+        n,
+        np.ascontiguousarray(indptr, dtype=np.int32).ctypes.data_as(i32),
+        np.ascontiguousarray(indices, dtype=np.int32).ctypes.data_as(i32),
+        np.ascontiguousarray(cindptr, dtype=np.int32).ctypes.data_as(i32),
+        np.ascontiguousarray(cindices, dtype=np.int32).ctypes.data_as(i32),
+        color.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return color
 
 
 def parse_edge_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
