@@ -38,7 +38,7 @@ from .common import baskets_to_dict
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "num_rows", "compute_diff", "elem_budget"),
+    static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
 )
 def _init_step(
     basket: Baskets,
@@ -48,6 +48,7 @@ def _init_step(
     num_rows: int,
     elem_budget: int,
     compute_diff: bool = False,
+    algo: str | None = None,
 ) -> Baskets:
     out, _ = merge_sweep(
         None,
@@ -59,13 +60,14 @@ def _init_step(
         compute_diff=False,
         out_basket=basket,
         elem_budget=elem_budget,
+        algo=algo,
     )
     return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "num_rows", "compute_diff", "elem_budget"),
+    static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
 )
 def _half_sweep(
     basket: Baskets,
@@ -75,6 +77,7 @@ def _half_sweep(
     num_rows: int,
     compute_diff: bool,
     elem_budget: int,
+    algo: str | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     return merge_sweep(
         basket,
@@ -85,7 +88,73 @@ def _half_sweep(
         mode="grank",
         compute_diff=compute_diff,
         elem_budget=elem_budget,
+        algo=algo,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "L", "num_rows", "iterations", "compute_diff", "elem_budget", "algo"
+    ),
+)
+def _full_run(
+    basket: Baskets,
+    buckets_a: Tuple[DeviceBucket, ...],
+    buckets_b: Tuple[DeviceBucket, ...],
+    damping: jax.Array,
+    tolerance: jax.Array,
+    L: int,
+    num_rows: int,
+    iterations: int,
+    compute_diff: bool,
+    elem_budget: int,
+    algo: str | None = None,
+) -> Baskets:
+    """The whole GRank main loop as ONE device program.
+
+    A while_loop over half-sweep *pairs* (partition A then B) with the
+    reference's per-partition maxDiff bookkeeping (include/grank.h:87-141)
+    evaluated on device — no host round-trip per iteration.  Used by the
+    production path; the host loop in grank_baskets keeps the same
+    semantics step-by-step for debugging.
+    """
+
+    def sweep(b, bkts):
+        return merge_sweep(
+            b, bkts, damping, L, num_rows, mode="grank",
+            compute_diff=compute_diff, elem_budget=elem_budget, algo=algo,
+        )
+
+    def half(state, bkts):
+        h, md0, md1, b = state
+        run = (h < iterations) & (jnp.maximum(md0, md1) >= tolerance)
+
+        def do(b):
+            nb, d = sweep(b, bkts)
+            return nb, d
+
+        nb, d = jax.lax.cond(
+            run, do, lambda b: (b, jnp.float32(0.0)), b
+        )
+        # md[0] = d; then swap(md[0], md[1])  (include/grank.h:94,140)
+        md0n = jnp.where(run, md1, md0)
+        md1n = jnp.where(run, d, md1)
+        hn = jnp.where(run, h + 1, h)
+        return hn, md0n, md1n, nb
+
+    def body(state):
+        state = half(state, buckets_a)
+        state = half(state, buckets_b)
+        return state
+
+    def cond(state):
+        h, md0, md1, _ = state
+        return (h < iterations) & (jnp.maximum(md0, md1) >= tolerance)
+
+    init = (jnp.int32(0), tolerance, tolerance, basket)
+    _, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out
 
 
 def _set_dangling(basket: Baskets, rows: np.ndarray, damping: float) -> Baskets:
@@ -107,12 +176,17 @@ def grank_baskets(
     tolerance: float,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
     mesh=None,
+    host_loop: bool = False,
+    merge_algo: str | None = None,
 ) -> Baskets:
     """GRank returning ``[N, K]`` basket arrays over internal node ids.
 
     With ``mesh`` the basket arrays are row-sharded over the mesh's node
     axis (see parallel/mesh.py) and XLA partitions every sweep across the
     devices — the data-parallel successor of grankMulti's thread chunking.
+    ``host_loop=True`` steps the main loop from the host (one dispatch and
+    convergence sync per half-sweep) instead of the single-program
+    while_loop — same semantics, useful for debugging/inspection.
     """
     check_basket_params(K, L)
     check_iterations(iterations)
@@ -143,9 +217,28 @@ def grank_baskets(
         dev_buckets = jax.device_put(dev_buckets, replicated(mesh))
         all_buckets = dev_buckets[0] + dev_buckets[1]
         damping_d = jax.device_put(damping_d, replicated(mesh))
-    basket = _init_step(basket, all_buckets, damping_d, L, n, elem_budget)
+    basket = _init_step(
+        basket, all_buckets, damping_d, L, n, elem_budget, algo=merge_algo
+    )
 
     compute_diff = tolerance >= 0
+    if not host_loop:
+        basket = _full_run(
+            basket,
+            dev_buckets[0],
+            dev_buckets[1],
+            damping_d,
+            jnp.float32(tolerance),
+            L,
+            n,
+            iterations,
+            compute_diff,
+            elem_budget,
+            algo=merge_algo,
+        )
+        return keep_top(basket.ids, basket.scores, K)
+
+    # Host-side loop: same semantics, one dispatch + sync per half-sweep.
     # Per-partition maxDiff slots, initialised to the tolerance so each
     # partition gets at least one sweep (include/grank.h:87-92).
     max_diff = [tolerance, tolerance]
@@ -160,6 +253,7 @@ def grank_baskets(
             n,
             compute_diff,
             elem_budget,
+            algo=merge_algo,
         )
         max_diff[0] = float(d) if compute_diff else 0.0
         active = 1 - active

@@ -40,7 +40,7 @@ from .common import baskets_to_dict
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "num_rows", "elem_budget")
+    jax.jit, static_argnames=("L", "num_rows", "elem_budget", "algo")
 )
 def _combine_pass(
     basket: Baskets,
@@ -49,6 +49,7 @@ def _combine_pass(
     L: int,
     num_rows: int,
     elem_budget: int,
+    algo: str | None = None,
 ) -> Baskets:
     out, _ = merge_sweep(
         basket,
@@ -59,6 +60,7 @@ def _combine_pass(
         mode="mc_combine",
         compute_diff=False,
         elem_budget=elem_budget,
+        algo=algo,
     )
     return out
 
@@ -72,6 +74,7 @@ def mccompletepathv2_baskets(
     seed: int | None = None,
     combine_passes: int = 1,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
+    merge_algo: str | None = None,
 ) -> Baskets:
     """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
 
@@ -93,7 +96,9 @@ def mccompletepathv2_baskets(
     buckets = device_plan(plan, n)
     damping_d = jnp.float32(damping)
     for _ in range(combine_passes):
-        basket = _combine_pass(basket, buckets, damping_d, L, n, elem_budget)
+        basket = _combine_pass(
+            basket, buckets, damping_d, L, n, elem_budget, algo=merge_algo
+        )
     # dangling nodes keep their walk basket {v: 1.0}
     # (mccompletepathv2.h:213-214: factor = 1.0, no successor contributions).
     return keep_top(basket.ids, basket.scores, K)

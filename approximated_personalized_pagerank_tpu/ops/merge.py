@@ -28,6 +28,8 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .basket import (
     SENTINEL,
     Baskets,
@@ -39,6 +41,57 @@ from .basket import (
 
 # Max elements in a candidate matrix chunk (ids+scores+sort temps scale this).
 DEFAULT_ELEM_BUDGET = 1 << 22
+
+# Merge pipeline implementation: 'sort' (lax.sort + segmented combine),
+# 'bitonic' (XLA bitonic network), 'pallas' (fused TPU kernel).  Overridable
+# per call; the env var sets the process default.
+DEFAULT_MERGE_ALGO = os.environ.get("PPR_MERGE_ALGO", "sort")
+# Below this candidate width the generic sort path is used regardless (the
+# pow2/lane padding of the network paths would dominate).
+MIN_NETWORK_WIDTH = 256
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()
+
+
+def _merge_rows(ids, scores, L: int, algo: str):
+    """Row-wise duplicate-id combine + top-L with the selected pipeline.
+
+    Input: candidate rows [C, W] with SENTINEL (-1) padding.
+    Output: Baskets rows [C, L] with SENTINEL padding, sorted desc by score.
+    """
+    w = ids.shape[-1]
+    if algo == "sort" or w < MIN_NETWORK_WIDTH:
+        ids, scores = sort_rows_by_id(ids, scores)
+        ids, scores = combine_sorted_runs(ids, scores)
+        return keep_top(ids, scores, L)
+
+    from .bitonic import (
+        PAD_ID,
+        bitonic_merge_topk,
+        bitonic_sort_pairs,
+        segmented_sum_sorted,
+    )
+
+    l_pad = _next_pow2(max(L, 128))
+    w2 = max(_next_pow2(w), l_pad)
+    ids = jnp.where(ids < 0, PAD_ID, ids)
+    if w2 > w:
+        pad_cfg = ((0, 0), (0, w2 - w))
+        ids = jnp.pad(ids, pad_cfg, constant_values=PAD_ID)
+        scores = jnp.pad(scores, pad_cfg)
+    if algo == "pallas":
+        from .pallas.merge_kernel import fused_merge_topl
+
+        out_ids, out_scores = fused_merge_topl(ids, scores, l_pad)
+    elif algo == "bitonic":
+        ids, scores = bitonic_sort_pairs(ids, scores)
+        ids, scores = segmented_sum_sorted(ids, scores)
+        out_ids, out_scores = bitonic_merge_topk(ids, scores, l_pad)
+    else:
+        raise ValueError(f"unknown merge algo {algo!r}")
+    return Baskets(out_ids[..., :L], out_scores[..., :L])
 
 
 class DeviceBucket(NamedTuple):
@@ -119,6 +172,7 @@ def merge_bucket(
     mode: str = "grank",
     old: Baskets | None = None,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
+    algo: str | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """Merged top-L baskets for one degree bucket, plus per-row L1 diff.
 
@@ -127,6 +181,8 @@ def merge_bucket(
     Rows padded with out-of-range ids produce garbage that callers drop via
     scatter ``mode='drop'``; their diff is masked to 0 here.
     """
+    if algo is None:
+        algo = DEFAULT_MERGE_ALGO
     c, d = succ.shape
     width = 1 + (d if basket is None else d * basket.width)
     chunk = int(max(1, min(c, elem_budget // max(width, 1))))
@@ -145,9 +201,7 @@ def merge_bucket(
         ids, scores, post = _bucket_candidates(
             basket, rows_c, succ_c, damping, mode
         )
-        ids, scores = sort_rows_by_id(ids, scores)
-        ids, scores = combine_sorted_runs(ids, scores)
-        new = keep_top(ids, scores, L)
+        new = _merge_rows(ids, scores, L, algo)
         new = Baskets(new.ids, new.scores * post[:, None])
         if old_c is not None:
             diff = norm1_rows(new, old_c)
@@ -201,6 +255,7 @@ def merge_sweep(
     compute_diff: bool = False,
     out_basket: Baskets | None = None,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
+    algo: str | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """One full merge sweep over a bucket list (one partition, or all nodes).
 
@@ -219,7 +274,7 @@ def merge_sweep(
         )
         new, diff = merge_bucket(
             basket, b.rows, b.succ, damping, L, mode=mode, old=old,
-            elem_budget=elem_budget,
+            elem_budget=elem_budget, algo=algo,
         )
         updates.append((b.rows, new))
         if compute_diff:

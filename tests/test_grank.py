@@ -168,3 +168,19 @@ def test_tolerance_zero_runs_all_iterations():
     b = grank(g, n, n, 100, 0.85, -1.0)
     for v in a:
         assert a[v] == pytest.approx(b[v], abs=1e-7)
+
+
+def test_device_loop_matches_host_loop(rng):
+    # The single-program while_loop runner must reproduce the host-stepped
+    # loop exactly (same half-sweep accounting and tolerance semantics).
+    from approximated_personalized_pagerank_tpu import grank_baskets
+
+    n = 30
+    src = rng.integers(0, n, size=300)
+    dst = rng.integers(0, n, size=300)
+    g = Graph.from_edges(src, dst, num_nodes=n)
+    for tol in (1e-4, -1.0, 0.5):
+        dev = grank_baskets(g, 5, 10, 25, 0.85, tol)
+        host = grank_baskets(g, 5, 10, 25, 0.85, tol, host_loop=True)
+        assert np.asarray(dev.ids).tolist() == np.asarray(host.ids).tolist()
+        assert np.allclose(np.asarray(dev.scores), np.asarray(host.scores))
