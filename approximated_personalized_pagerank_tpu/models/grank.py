@@ -178,6 +178,9 @@ def grank_baskets(
     mesh=None,
     host_loop: bool = False,
     merge_algo: str | None = None,
+    engine: str = "auto",
+    matmul_dtype=None,
+    exact_trunc: bool = False,
 ) -> Baskets:
     """GRank returning ``[N, K]`` basket arrays over internal node ids.
 
@@ -187,6 +190,15 @@ def grank_baskets(
     ``host_loop=True`` steps the main loop from the host (one dispatch and
     convergence sync per half-sweep) instead of the single-program
     while_loop — same semantics, useful for debugging/inspection.
+
+    ``engine`` selects the sweep implementation: ``"sparse"`` is the
+    gather/sort pipeline over degree buckets (scales to arbitrary graphs,
+    shardable over a mesh); ``"dense"`` runs each half-sweep as one MXU
+    matmul over an ``[N, N]`` score matrix (see ops/dense.py) — much faster
+    whenever the graph fits HBM; ``"auto"`` picks dense for unsharded graphs
+    up to ``PPR_DENSE_MAX_NODES`` nodes.  ``matmul_dtype`` overrides the
+    dense engine's matmul input dtype (bfloat16 on TPU by default; pass
+    ``jnp.float32`` for bitwise-tight comparisons against the sparse path).
     """
     check_basket_params(K, L)
     check_iterations(iterations)
@@ -195,6 +207,16 @@ def grank_baskets(
     n = graph.num_nodes
     if n == 0:
         return empty_baskets(0, K)
+
+    from ..ops.dense import dense_grank_run, use_dense_engine
+
+    if host_loop and engine == "auto":
+        engine = "sparse"  # host_loop debugs the sparse runner
+    if use_dense_engine(n, engine, mesh):
+        return dense_grank_run(
+            graph, K, L, iterations, damping, tolerance,
+            matmul_dtype=matmul_dtype, exact_trunc=exact_trunc,
+        )
 
     plans = [graph.merge_plan(0), graph.merge_plan(1)]
     dev_buckets = [device_plan(p, n) for p in plans]
@@ -271,11 +293,17 @@ def grank(
     damping: float,
     tolerance: float,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
+    engine: str = "auto",
+    matmul_dtype=None,
+    exact_trunc: bool = False,
 ) -> Dict[Hashable, Dict[Hashable, float]]:
     """GRank with the reference's call signature and map-of-maps result
     (include/grank.h:42-48)."""
     return baskets_to_dict(
-        grank_baskets(graph, K, L, iterations, damping, tolerance, elem_budget),
+        grank_baskets(
+            graph, K, L, iterations, damping, tolerance, elem_budget,
+            engine=engine, matmul_dtype=matmul_dtype, exact_trunc=exact_trunc,
+        ),
         graph,
     )
 

@@ -180,7 +180,7 @@ def test_device_loop_matches_host_loop(rng):
     dst = rng.integers(0, n, size=300)
     g = Graph.from_edges(src, dst, num_nodes=n)
     for tol in (1e-4, -1.0, 0.5):
-        dev = grank_baskets(g, 5, 10, 25, 0.85, tol)
+        dev = grank_baskets(g, 5, 10, 25, 0.85, tol, engine="sparse")
         host = grank_baskets(g, 5, 10, 25, 0.85, tol, host_loop=True)
         assert np.asarray(dev.ids).tolist() == np.asarray(host.ids).tolist()
         assert np.allclose(np.asarray(dev.scores), np.asarray(host.scores))

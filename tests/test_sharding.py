@@ -53,14 +53,14 @@ def test_too_many_shards_rejected():
 def test_multi_shard_same_as_serial(rng):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     for name, g in _graphs(rng):
-        serial = grank(g, 5, 10, 30, 0.85, 1e-4)
+        serial = grank(g, 5, 10, 30, 0.85, 1e-4, engine="sparse")
         sharded = grank_multi(g, 5, 10, 30, 0.85, 1e-4, 4)
         _basket_dicts_close(serial, sharded)
 
 
 def test_single_shard_same_as_serial(rng):
     for name, g in _graphs(rng):
-        serial = grank(g, 5, 10, 30, 0.85, 1e-4)
+        serial = grank(g, 5, 10, 30, 0.85, 1e-4, engine="sparse")
         one = grank_multi(g, 5, 10, 30, 0.85, 1e-4, 1)
         _basket_dicts_close(serial, one)
 
