@@ -9,9 +9,13 @@ exists only to economize *serial* walk time; the TPU-native formulation walks
 **all sources in parallel** (ops/walk.py) and then performs the combine as
 one batched merge sweep — walk-count parity (R per node) is preserved.
 
-Optional ``combine_passes > 1`` re-applies the combine using the previous
-pass's results for every successor, the parallel-schedule analogue of the
-reference's propagation of final results along its execution order.
+``combine_passes`` re-applies the combine using the previous pass's results
+for every successor — the parallel-schedule analogue of the reference's
+propagation of final (already-combined) successor results along its
+execution order (mccompletepathv2.h:230-234).  The default of 2 passes
+dominates the reference's measured quality on the Eat benchmark (jaccard
+0.961 vs 0.944) at lower wall time; ``combine_passes=1`` gives the pure
+walk + single-combine form.
 
 Deliberate divergences (documented in README):
 * uniform random successor choice instead of the serial rotating index
@@ -72,14 +76,22 @@ def mccompletepathv2_baskets(
     iterations: int,
     damping: float,
     seed: int | None = None,
-    combine_passes: int = 1,
+    combine_passes: int = 2,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
     merge_algo: str | None = None,
+    engine: str = "auto",
+    matmul_dtype=None,
 ) -> Baskets:
     """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
 
     ``iterations`` is R — the number of Monte-Carlo walks per node in the
     worst case (include/mccompletepathv2.h:186).
+
+    ``engine`` selects the combine implementation exactly like GRank's
+    (see models/grank.py): ``"dense"`` keeps the walk counts in an [N, N]
+    matrix and runs the combine as MXU matmuls (ops/dense.py), ``"sparse"``
+    uses the gather/sort merge over degree buckets, ``"auto"`` picks dense
+    for graphs up to ``PPR_DENSE_MAX_NODES`` nodes.
     """
     check_basket_params(K, L)
     check_iterations(iterations)
@@ -90,6 +102,14 @@ def mccompletepathv2_baskets(
     n = graph.num_nodes
     if n == 0:
         return empty_baskets(0, K)
+
+    from ..ops.dense import dense_mc_run, use_dense_engine
+
+    if use_dense_engine(n, engine, None):
+        return dense_mc_run(
+            graph, K, L, iterations, damping, seed=seed,
+            combine_passes=combine_passes, matmul_dtype=matmul_dtype,
+        )
 
     basket = walk_baskets(graph, L, iterations, damping, seed=seed)
     plan = graph.merge_plan(None)
@@ -111,14 +131,15 @@ def mccompletepathv2(
     iterations: int,
     damping: float,
     seed: int | None = None,
-    combine_passes: int = 1,
+    combine_passes: int = 2,
+    engine: str = "auto",
 ) -> Dict[Hashable, Dict[Hashable, float]]:
     """MCCompletePathV2 with the reference call signature and map-of-maps
     result (include/mccompletepathv2.h:182-187)."""
     return baskets_to_dict(
         mccompletepathv2_baskets(
             graph, K, L, iterations, damping, seed=seed,
-            combine_passes=combine_passes,
+            combine_passes=combine_passes, engine=engine,
         ),
         graph,
     )

@@ -275,14 +275,34 @@ def _dense_run(
 
     # Final keepTop(K) (include/grank.h:143-147) + translation back from the
     # partition-ordered space to original internal ids.
-    vals, idx = jax.lax.top_k(S[:n, :], K)
-    ids_old = perm[jnp.minimum(idx, n - 1)]
+    return _topk_baskets(S, n, K, perm=perm)
+
+
+def _topk_baskets(S, n: int, K: int, perm=None) -> Baskets:
+    """Exact row-wise top-K of a dense score matrix as ``[n, K]`` Baskets.
+
+    Entries with score <= 0 are absent (every genuine basket score is a
+    positive sum).  ``perm`` (new id -> original id) translates both row
+    order and column ids back from a renumbered space.
+    """
+    kk = min(K, S.shape[-1])
+    vals, idx = jax.lax.top_k(S[:n, :], kk)
     live = vals > 0
-    row_ids = jnp.where(live, ids_old, SENTINEL)
+    if perm is not None:
+        ids = perm[jnp.minimum(idx, n - 1)]
+    else:
+        ids = idx.astype(jnp.int32)
+    row_ids = jnp.where(live, ids, SENTINEL)
     row_scores = jnp.where(live, vals, 0.0)
-    out_ids = jnp.zeros((n, K), jnp.int32).at[perm].set(row_ids)
-    out_scores = jnp.zeros((n, K), jnp.float32).at[perm].set(row_scores)
-    return Baskets(out_ids, out_scores)
+    if kk < K:
+        pad = ((0, 0), (0, K - kk))
+        row_ids = jnp.pad(row_ids, pad, constant_values=SENTINEL)
+        row_scores = jnp.pad(row_scores, pad)
+    if perm is not None:
+        out_ids = jnp.zeros((n, K), jnp.int32).at[perm].set(row_ids)
+        out_scores = jnp.zeros((n, K), jnp.float32).at[perm].set(row_scores)
+        return Baskets(out_ids, out_scores)
+    return Baskets(row_ids, row_scores)
 
 
 def dense_grank_run(
@@ -333,4 +353,118 @@ def dense_grank_run(
         compute_diff=compute_diff,
         recall=recall,
         exact_trunc=exact_trunc,
+    )
+
+
+# --------------------------------------------------------------------------
+# Dense MCCompletePathV2: walk counts in an [N, N] matrix, combine as one
+# MXU matmul (reference combine: include/mccompletepathv2.h:211-250).
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("start", "n_pad", "L", "recall", "exact_trunc")
+)
+def _write_trunc_chunk(counts, chunk, start: int, n_pad: int, L: int,
+                       recall: float, exact_trunc: bool):
+    """Truncate a walk-count chunk to top-L and write it at row ``start``.
+
+    The per-source L-cap mirrors the reference's in-walk cap
+    (mccompletepathv2.h:152-153) applied after counting — a superset of the
+    reference's behavior, which *drops* visits once a basket is full.
+    """
+    c = jnp.pad(chunk, ((0, 0), (0, n_pad - chunk.shape[-1])))
+    c = _trunc_rows(c, L, recall, exact_trunc)
+    return jax.lax.dynamic_update_slice_in_dim(counts, c, start, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_pad", "L", "K", "passes", "recall",
+                     "exact_trunc", "mm_dtype"),
+)
+def _dense_mc_combine(
+    e_rows,
+    e_cols,
+    e_w,
+    factor,
+    counts,
+    n: int,
+    n_pad: int,
+    L: int,
+    K: int,
+    passes: int,
+    recall: float,
+    exact_trunc: bool,
+    mm_dtype,
+) -> Baskets:
+    """MC combine as matmuls: ``map_v = {v: 1/factor_v} + sum of successors'
+    baskets; keepTop(L); *factor_v`` (mccompletepathv2.h:211-250).
+
+    ``factor_v = damping/outdeg(v)`` (1.0 for dangling nodes, whose rows
+    thereby reduce to ``{v: 1.0}`` exactly like mccompletepathv2.h:213-226:
+    the self entry is 1/1 and a zero adjacency row adds nothing).
+    """
+    A = jnp.zeros((n, n_pad), jnp.float32)
+    if e_rows.shape[0]:
+        A = A.at[e_rows, e_cols].add(e_w)
+    A = A.astype(mm_dtype)
+    diag = jnp.arange(n, dtype=jnp.int32)
+    S = counts
+    for _ in range(passes):
+        rhs = S if mm_dtype == S.dtype else S.astype(mm_dtype)
+        C = jnp.dot(A, rhs, preferred_element_type=jnp.float32)
+        C = C.at[diag, diag].add(1.0 / factor)
+        C = _trunc_rows(C, L, recall, exact_trunc)
+        C = C * factor[:, None]
+        S = jnp.zeros((n_pad, n_pad), jnp.float32)
+        S = jax.lax.dynamic_update_slice_in_dim(S, C, 0, axis=0)
+    return _topk_baskets(S, n, K)
+
+
+def dense_mc_run(
+    graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    seed: int | None = None,
+    combine_passes: int = 1,
+    matmul_dtype=None,
+    recall: float = DENSE_TRUNC_RECALL,
+    exact_trunc: bool = False,
+) -> Baskets:
+    """MCCompletePathV2 end-to-end with the dense engine: quota-slot walks
+    accumulate into an [N, N] count matrix (ops/walk.py), then the combine
+    runs as ``combine_passes`` MXU matmuls."""
+    from .walk import walk_count_chunks
+
+    n = graph.num_nodes
+    n_pad = max(_LANE, -(-n // _LANE) * _LANE)
+    counts = jnp.zeros((n_pad, n_pad), jnp.float32)
+    for s, chunk in walk_count_chunks(graph, iterations, damping, seed=seed):
+        counts = _write_trunc_chunk(
+            counts, chunk, s, n_pad, min(L, n), recall, exact_trunc
+        )
+    deg = graph.out_degree.astype(np.int64)
+    factor = np.where(
+        deg > 0, damping / np.maximum(deg, 1).astype(np.float64), 1.0
+    ).astype(np.float32)
+    src = np.repeat(np.arange(n, dtype=np.int64), deg).astype(np.int32)
+    dst = graph.indices.astype(np.int32)
+    mm_dtype = jnp.dtype(matmul_dtype or default_matmul_dtype())
+    return _dense_mc_combine(
+        jnp.asarray(src),
+        jnp.asarray(dst),
+        jnp.ones(src.shape, jnp.float32),
+        jnp.asarray(factor),
+        counts,
+        n=n,
+        n_pad=n_pad,
+        L=min(L, n),
+        K=K,
+        passes=combine_passes,
+        recall=recall,
+        exact_trunc=exact_trunc,
+        mm_dtype=mm_dtype,
     )

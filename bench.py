@@ -41,6 +41,7 @@ from approximated_personalized_pagerank_tpu import (
 
 REFERENCE_GRANK_MS = 40957.0  # serial C++ grank, this host (see docstring)
 REFERENCE_GRANK_MULTI_MS = 22636.0
+REFERENCE_MC_MS = 7195.0  # mccompletepathv2(50, 200, 1000, 0.85), this host
 EAT_PATH = "/root/reference/example.txt"
 
 K, L, ITERS, DAMPING, TOL = 50, 100, 30, 0.85, 1e-4
@@ -76,6 +77,18 @@ def main():
     elapsed = time.time() - t0
 
     stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
+
+    # Secondary: MCCompletePathV2 with the reference driver's config
+    # (src/main.cc:64: K=50, L=200, R=1000, damping 0.85).
+    from approximated_personalized_pagerank_tpu import mccompletepathv2_baskets
+
+    np.asarray(mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=0).ids)
+    t0 = time.time()
+    mc = mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=1)
+    np.asarray(mc.ids)
+    mc_elapsed = time.time() - t0
+    mc_stats = benchmark_algorithm(mc, graph, 200, True, seed=0)
+
     merges = graph.num_edges * L * ITERS  # basket-merge slot updates
     result = {
         "metric": "grank_eat_wall_time",
@@ -94,6 +107,10 @@ def main():
             "kendall_average": round(stats["kendall average"], 4),
             "recall_average": round(stats["recall average"], 4),
             "average_map_size": round(stats["average map size"], 2),
+            "mc_wall_time_s": round(mc_elapsed, 4),
+            "mc_vs_reference": round(REFERENCE_MC_MS / 1000.0 / mc_elapsed, 2),
+            "mc_jaccard_average": round(mc_stats["jaccard average"], 4),
+            "mc_kendall_average": round(mc_stats["kendall average"], 4),
         },
     }
     print(json.dumps(result))
