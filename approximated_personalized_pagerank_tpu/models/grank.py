@@ -95,7 +95,7 @@ def _half_sweep(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "num_rows", "iterations", "compute_diff", "elem_budget", "algo"
+        "L", "num_rows", "compute_diff", "elem_budget", "algo"
     ),
 )
 def _full_run(
@@ -104,9 +104,9 @@ def _full_run(
     buckets_b: Tuple[DeviceBucket, ...],
     damping: jax.Array,
     tolerance: jax.Array,
+    iterations: jax.Array,
     L: int,
     num_rows: int,
-    iterations: int,
     compute_diff: bool,
     elem_budget: int,
     algo: str | None = None,
@@ -218,6 +218,10 @@ def grank_baskets(
             matmul_dtype=matmul_dtype, exact_trunc=exact_trunc,
         )
 
+    if mesh is not None and merge_algo is None:
+        # Pallas kernels have no GSPMD partitioning rules; sharded sweeps
+        # use the XLA sort pipeline, which partitions cleanly.
+        merge_algo = "sort"
     plans = [graph.merge_plan(0), graph.merge_plan(1)]
     dev_buckets = [device_plan(p, n) for p in plans]
     all_buckets = dev_buckets[0] + dev_buckets[1]
@@ -251,9 +255,9 @@ def grank_baskets(
             dev_buckets[1],
             damping_d,
             jnp.float32(tolerance),
+            jnp.int32(iterations),
             L,
             n,
-            iterations,
             compute_diff,
             elem_budget,
             algo=merge_algo,

@@ -34,11 +34,22 @@ PAD_ID = 2**31 - 1
 
 
 def _xor_shuffle(x: jax.Array, j: int) -> jax.Array:
-    """x[..., i ^ j] for power-of-two j, via reshape + flip."""
+    """x[..., i ^ j] for power-of-two j.
+
+    For sub-lane distances (j < 128) Mosaic cannot lower the lane-crossing
+    reshape, so the partner exchange is two cyclic rolls + select: an index
+    with bit j clear reads i+j, one with it set reads i-j (neither wraps).
+    For j >= 128 a [..., w/2j, 2, j] reshape with the size-2 axis swapped by
+    slice+concat is cheaper (jnp.flip is avoided: Mosaic has no ``rev``).
+    """
     w = x.shape[-1]
     lead = x.shape[:-1]
+    if j < 128:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        low = jnp.bitwise_and(idx, j) == 0
+        return jnp.where(low, jnp.roll(x, -j, axis=-1), jnp.roll(x, j, axis=-1))
     y = x.reshape(*lead, w // (2 * j), 2, j)
-    y = jnp.flip(y, axis=-2)
+    y = jnp.concatenate([y[..., 1:, :], y[..., :1, :]], axis=-2)
     return y.reshape(*lead, w)
 
 
@@ -60,8 +71,11 @@ def _stage(
         == 0
     )
     # For ascending region: low slot takes min, high slot takes max.
-    take_min = jnp.where(up_mask, i_is_low, ~i_is_low)
-    swap = jnp.where(take_min, ids > p_ids, ids < p_ids)
+    # NB: written with ==/&/| — Mosaic (Pallas TPU) crashes lowering
+    # jnp.where over *boolean* operands, and ~bool is equally unsafe.
+    take_min = up_mask == i_is_low
+    take_max = up_mask != i_is_low
+    swap = (take_min & (ids > p_ids)) | (take_max & (ids < p_ids))
     out_ids = jnp.where(swap, p_ids, ids)
     out_scores = jnp.where(swap, p_scores, scores)
     return out_ids, out_scores
@@ -102,8 +116,11 @@ def bitonic_sort_desc_by_score(
             p_ids = _xor_shuffle(ids, j)
             p_scores = _xor_shuffle(scores, j)
             i_is_low = (jnp.bitwise_and(idx, j) == 0)
-            take_max = jnp.where(up_mask, i_is_low, ~i_is_low)
-            swap = jnp.where(take_max, scores < p_scores, scores > p_scores)
+            take_max = up_mask == i_is_low  # no bool-where (see _stage)
+            take_min = up_mask != i_is_low
+            swap = (take_max & (scores < p_scores)) | (
+                take_min & (scores > p_scores)
+            )
             ids = jnp.where(swap, p_ids, ids)
             scores = jnp.where(swap, p_scores, scores)
             j //= 2

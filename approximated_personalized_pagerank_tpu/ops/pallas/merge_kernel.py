@@ -75,6 +75,9 @@ def fused_merge_topl(
     cp = c + pad
 
     grid = (cp // tc,)
+    # Wide rows need more scoped VMEM than Mosaic's conservative 16MB
+    # default for the network's live temporaries; v5e has headroom.
+    vmem_limit = min(100 << 20, max(16 << 20, 24 * tc * w))
     out_ids, out_scores = pl.pallas_call(
         functools.partial(_merge_kernel, l_pad=l_pad),
         grid=grid,
@@ -90,6 +93,7 @@ def fused_merge_topl(
             jax.ShapeDtypeStruct((cp, l_pad), jnp.int32),
             jax.ShapeDtypeStruct((cp, l_pad), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(ids, scores)
     if pad:

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """End-to-end example mirroring the reference driver (src/main.cc:30-76):
-import the Eat graph, run grank (single-device and sharded) and
-mccompletepathv2 with the canonical parameters, time each, and print the
-five benchmark statistics for 200 strict-sampled sources.
+import the Eat graph, run grank and mccompletepathv2 with the canonical
+parameters, time each, and print the five benchmark statistics for 200
+strict-sampled sources.  (grankMulti's analogue, the mesh-sharded grank, is
+exercised by tests/test_sharding.py and __graft_entry__.dryrun_multichip —
+this sandbox exposes a single TPU chip.)
 
 Usage: python examples/run_eat.py [path/to/edges.csv]
 Runs on whatever jax backend the environment provides (TPU under axon).
@@ -15,6 +17,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import numpy as np
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -33,7 +36,9 @@ from approximated_personalized_pagerank_tpu import (
 def report(name, fn, graph):
     t0 = time.time()
     baskets = fn()
-    baskets.ids.block_until_ready()
+    # np.asarray, not block_until_ready: the latter does not synchronize
+    # through the remote-TPU tunnel used in this sandbox.
+    np.asarray(baskets.ids)
     dt = (time.time() - t0) * 1000
     print(f"{name} run-time = {dt:.0f} ms")
     stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
@@ -54,8 +59,8 @@ def main():
     # The warm-up must use the same tolerance mode as the timed run — the
     # convergence diff changes the compiled program.
     print("compiling...")
-    grank_baskets(graph, 50, 100, 2, 0.85, 0.0001).ids.block_until_ready()
-    mccompletepathv2_baskets(graph, 50, 200, 1000, 0.85, seed=1).ids.block_until_ready()
+    np.asarray(grank_baskets(graph, 50, 100, 2, 0.85, 0.0001).ids)
+    np.asarray(mccompletepathv2_baskets(graph, 50, 200, 1000, 0.85, seed=1).ids)
 
     report(
         "grank",
