@@ -38,7 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tolerance", type=float, default=1e-4)
     p.add_argument("--n-shards", type=int, default=1)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--combine-passes", type=int, default=1)
+    p.add_argument("--combine-passes", type=int, default=2)
+    p.add_argument(
+        "--engine", default="auto", choices=["auto", "dense", "sparse"],
+        help="dense = MXU matmul engine (graphs that fit HBM); "
+        "sparse = degree-bucketed engine (any size)",
+    )
+    p.add_argument(
+        "--merge-algo", default=None, choices=["sort", "bitonic", "pallas"],
+        help="sparse-engine merge pipeline (default: pallas on TPU)",
+    )
     p.add_argument("--test-nodes", type=int, default=200)
     p.add_argument("--no-strict", action="store_true")
     p.add_argument("--no-eval", action="store_true")
@@ -58,6 +67,8 @@ def main(argv=None) -> int:
         n_shards=args.n_shards,
         seed=args.seed,
         combine_passes=args.combine_passes,
+        engine=args.engine,
+        merge_algo=args.merge_algo,
         test_nodes=args.test_nodes,
         strict=not args.no_strict,
     )
@@ -78,7 +89,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     if cfg.algorithm == "grank":
         baskets = grank_baskets(
-            graph, cfg.K, cfg.L, cfg.iterations, cfg.damping, cfg.tolerance
+            graph, cfg.K, cfg.L, cfg.iterations, cfg.damping, cfg.tolerance,
+            engine=cfg.engine, merge_algo=cfg.merge_algo,
         )
     elif cfg.algorithm == "grank_multi":
         baskets = grank_multi_baskets(
@@ -99,8 +111,13 @@ def main(argv=None) -> int:
             cfg.damping,
             seed=cfg.seed,
             combine_passes=cfg.combine_passes,
+            engine=cfg.engine,
+            merge_algo=cfg.merge_algo,
         )
-    baskets.ids.block_until_ready()
+    import numpy as np
+
+    np.asarray(baskets.ids)  # block_until_ready is a no-op through the
+    # remote-TPU tunnel; a host transfer really synchronizes
     print(f"{cfg.algorithm} run-time = {(time.time() - t0) * 1000:.0f} ms")
 
     if not args.no_eval:

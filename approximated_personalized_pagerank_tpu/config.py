@@ -24,7 +24,9 @@ class RunConfig:
     tolerance: float = 1e-4  # negative => never stop early (grank only)
     n_shards: int = 1  # grank_multi parallelism degree
     seed: Optional[int] = None  # MCv2 PRNG seed (None = entropy)
-    combine_passes: int = 1  # MCv2 propagation passes
+    combine_passes: int = 2  # MCv2 propagation passes
+    engine: str = "auto"  # auto | dense (MXU matmul) | sparse (bucketed)
+    merge_algo: Optional[str] = None  # sparse merge: sort | bitonic | pallas
     # evaluation
     test_nodes: int = 200
     strict: bool = True
@@ -44,3 +46,5 @@ class RunConfig:
         check_damping(self.damping)
         if self.algorithm == "grank_multi":
             check_shards(self.n_shards)
+        if self.engine not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown engine {self.engine!r}")

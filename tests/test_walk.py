@@ -1,0 +1,78 @@
+"""Walk-engine invariants: quota accounting, mass conservation bands,
+determinism, and chunk-boundary consistency (ops/walk.py)."""
+
+import numpy as np
+import pytest
+
+from approximated_personalized_pagerank_tpu import Graph
+from approximated_personalized_pagerank_tpu.ops.walk import (
+    _horizon,
+    _quota,
+    walk_baskets,
+    walk_count_chunks,
+)
+
+
+def test_quota_partition():
+    q = _quota(850, 128)
+    assert q.sum() == 850
+    assert q.max() - q.min() <= 1
+    assert _quota(3, 8).sum() == 3
+
+
+def test_horizon_bounds():
+    # enough steps for the mean, not absurdly more
+    h = _horizon(850, 128, 0.85)
+    q = -(-850 // 128)
+    assert h >= q / 0.15
+    assert h <= 4 * q / 0.15 + 64
+
+
+def test_visit_mass_band():
+    # On a cycle (no dangling nodes) the normalized visit mass per source is
+    # 1 (source seed, = R/R) + floor(R*damping)/R * E[walk length]
+    # with E[len] = 1/(1-damping); the step horizon may shave <~1%.
+    n, r, damping = 32, 2000, 0.85
+    g = Graph.from_dict({i: [(i + 1) % n] for i in range(n)})
+    total = np.zeros(n)
+    for s, c in walk_count_chunks(g, r, damping, seed=7):
+        arr = np.asarray(c)
+        total[s : s + arr.shape[0]] += arr.sum(axis=1)
+    expect = 1.0 + int(r * damping) / r / (1.0 - damping)
+    assert abs(total.mean() - expect) < 0.3, (total.mean(), expect)
+    # never OVER the expectation band (the horizon only abandons walks)
+    assert total.mean() < expect + 0.2
+
+
+def test_walks_deterministic_given_seed():
+    g = Graph.from_dict({i: [(i + 1) % 6, (i + 2) % 6] for i in range(6)})
+    a = walk_baskets(g, 4, 500, 0.85, seed=3)
+    b = walk_baskets(g, 4, 500, 0.85, seed=3)
+    assert np.array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    assert np.array_equal(np.asarray(a.scores), np.asarray(b.scores))
+    c = walk_baskets(g, 4, 500, 0.85, seed=4)
+    assert not np.array_equal(np.asarray(a.scores), np.asarray(c.scores))
+
+
+def test_dangling_source_is_unit_self():
+    g = Graph.from_dict({0: [1], 1: []})
+    b = walk_baskets(g, 3, 100, 0.85, seed=0)
+    ids = np.asarray(b.ids)
+    scores = np.asarray(b.scores)
+    assert ids[1][0] == 1 and scores[1][0] == pytest.approx(1.0)
+    assert (ids[1][1:] == -1).all()
+
+
+def test_chunked_equals_one_chunk_totals():
+    # chunking only batches sources; totals per source must be seeded per
+    # chunk but the *distribution* invariants hold: compare visit-mass sums.
+    n, r = 24, 1000
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 5) % n] for i in range(n)})
+    sums = []
+    for chunk in (6, 24):
+        total = np.zeros(n)
+        for s, c in walk_count_chunks(g, r, 0.85, seed=11, source_chunk=chunk):
+            arr = np.asarray(c)
+            total[s : s + arr.shape[0]] += arr.sum(axis=1)
+        sums.append(total.mean())
+    assert abs(sums[0] - sums[1]) < 0.3, sums
