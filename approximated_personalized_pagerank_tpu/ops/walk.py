@@ -66,7 +66,7 @@ def walk_counts_chunk(
     num_nodes: int,
     slots: int,
     max_steps: int,
-    unroll: int = 16,
+    unroll: int = 32,
 ) -> jax.Array:
     """Normalized visit counts ``float32[C, num_nodes]`` for a source chunk.
 
@@ -190,16 +190,23 @@ def _walk_plan(
     """Host-side cohort sizing: (chunk, slots, quota array, step cap)."""
     total = int(iterations * damping)  # floor(R * damping) thinned walks
     if slots is None:
-        slots = int(min(128, max(total, 1)))
+        # Few slots with a high per-slot quota: a slot's total step count
+        # concentrates around its mean as quota grows (std/mean ~ 1/sqrt(q)),
+        # so the straggler horizon — and with it the scatter traffic of idle
+        # slots — shrinks.  16 slots ≈ 80% utilization at R=1000 (measured
+        # 1.8x faster than 128 slots on the Eat benchmark).
+        slots = int(min(16, max(total, 1)))
     slots = max(1, min(slots, max(total, 1)))
     quota = _quota(total, slots)
     if max_steps is None:
         max_steps = _horizon(total, slots, damping)
     if source_chunk is None:
-        # bound the [C, n+1] count buffer at ~256MB and the per-step scatter
-        # cohort [C, slots] at ~512k updates.
+        # bound the [C, n+1] count buffer at ~24M elements (~96MB): measured
+        # optimum for the visit scatter-add — larger buffers slow the random
+        # writes, smaller ones under-fill the cohort — and cap the per-step
+        # scatter cohort [C, slots] at ~512k updates.
         source_chunk = int(
-            max(8, min(4096, (64 << 20) // max(n, 1), (1 << 19) // slots))
+            max(8, min(4096, (24 << 20) // max(n, 1), (1 << 19) // slots))
         )
     source_chunk = min(source_chunk, max(n, 1))
     return source_chunk, slots, quota, max_steps
@@ -213,7 +220,7 @@ def walk_count_chunks(
     source_chunk: int | None = None,
     max_steps: int | None = None,
     slots: int | None = None,
-    unroll: int = 16,
+    unroll: int = 32,
 ):
     """Yield ``(start_row, counts[f32 C, N])`` normalized visit-count chunks
     covering all sources (the last chunk may include padded rows; the caller
