@@ -7,7 +7,18 @@ CSR adjacency in HBM, fixed-width basket arrays, batched sort-merge kernels,
 and pjit sharding over the node dimension.
 """
 
+import os as _os
+
 from .graph import Graph, load_csv_graph
+
+
+def sample_graph_path() -> str:
+    """Path of the bundled sample edge-list CSV (2,000 nodes, ~16k edges,
+    deterministic heavy-tailed synthetic) — the out-of-the-box demo dataset,
+    standing in for the reference's bundled ``example.txt``."""
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "data", "sample_graph.csv"
+    )
 from .models.benchmark import benchmark_algorithm
 from .models.common import baskets_to_dict, device_graph
 from .models.grank import grank, grank_baskets, grank_multi, grank_multi_baskets
@@ -16,11 +27,12 @@ from .models.ppr_single_source import ppr_single_source, ppr_single_source_batch
 from .ops.basket import Baskets
 from .utils.order import execution_order
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Graph",
     "load_csv_graph",
+    "sample_graph_path",
     "grank",
     "grank_baskets",
     "grank_multi",

@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="approximated_personalized_pagerank_tpu",
         description="TPU-native all-sources personalized PageRank",
     )
-    p.add_argument("--graph", required=True, help="CSV edge list (node1,node2)")
+    p.add_argument(
+        "--graph",
+        default=None,
+        help="CSV edge list (node1,node2); defaults to the bundled sample graph",
+    )
     p.add_argument(
         "--algorithm",
         default="grank",
@@ -83,7 +87,13 @@ def main(argv=None) -> int:
     )
     from .utils.checkpoint import save_baskets
 
-    graph = load_csv_graph(args.graph)
+    graph_path = args.graph
+    if graph_path is None:
+        from . import sample_graph_path
+
+        graph_path = sample_graph_path()
+        print(f"no --graph given; using bundled sample {graph_path}")
+    graph = load_csv_graph(graph_path)
     print(f"nodes: {graph.num_nodes} edges: {graph.num_edges}")
 
     t0 = time.time()

@@ -361,8 +361,13 @@ def load_csv_graph(path: str) -> Graph:
     src, dst = parse_edge_csv(path)
     # Dedup, preserving the reference's first-occurrence semantics (the kept
     # set of edges is identical; order within a row does not affect results).
-    combo = src.astype(np.int64) * (max(int(dst.max(initial=0)), 0) + 1) + dst
-    _, first = np.unique(combo, return_index=True)
+    # A compound view avoids the src*(max+1)+dst packing, which overflows
+    # int64 for external ids near 2^32 and silently merges distinct edges.
+    pairs = np.ascontiguousarray(
+        np.stack([src.astype(np.int64), dst.astype(np.int64)], axis=1)
+    )
+    view = pairs.view([("s", np.int64), ("d", np.int64)]).reshape(-1)
+    _, first = np.unique(view, return_index=True)
     first.sort()
     src, dst = src[first], dst[first]
     # Densify external integer ids to [0, N): union of sources and targets,

@@ -17,10 +17,7 @@ the multi-thread number is reported alongside for context.
 
 import json
 import os
-import sys
 import time
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 

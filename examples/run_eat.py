@@ -14,7 +14,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # installed package (pip install -e .)
+    import approximated_personalized_pagerank_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np
@@ -50,7 +53,15 @@ def report(name, fn, graph):
 
 
 def main():
-    path = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/example.txt"
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    elif os.path.exists("/root/reference/example.txt"):
+        path = "/root/reference/example.txt"
+    else:
+        from approximated_personalized_pagerank_tpu import sample_graph_path
+
+        path = sample_graph_path()
+        print(f"Eat graph not found; using bundled sample {path}")
     graph = load_csv_graph(path)
     print(f"nodes: {graph.num_nodes} edges: {graph.num_edges}")
 

@@ -16,7 +16,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # installed package (pip install -e .)
+    import approximated_personalized_pagerank_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
