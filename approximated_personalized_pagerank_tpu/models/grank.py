@@ -110,8 +110,12 @@ def _full_run(
     compute_diff: bool,
     elem_budget: int,
     algo: str | None = None,
-) -> Baskets:
+) -> Tuple[Baskets, jax.Array]:
     """The whole GRank main loop as ONE device program.
+
+    Returns (baskets, half-sweeps actually executed) — the latter feeds
+    honest throughput reporting (a tolerance stop can end the loop well
+    before ``iterations``).
 
     A while_loop over half-sweep *pairs* (partition A then B) with the
     reference's per-partition maxDiff bookkeeping (include/grank.h:87-141)
@@ -153,8 +157,8 @@ def _full_run(
         return (h < iterations) & (jnp.maximum(md0, md1) >= tolerance)
 
     init = (jnp.int32(0), tolerance, tolerance, basket)
-    _, _, _, out = jax.lax.while_loop(cond, body, init)
-    return out
+    h, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out, h
 
 
 def _set_dangling(basket: Baskets, rows: np.ndarray, damping: float) -> Baskets:
@@ -181,8 +185,14 @@ def grank_baskets(
     engine: str = "auto",
     matmul_dtype=None,
     exact_trunc: bool = False,
+    return_info: bool = False,
 ) -> Baskets:
     """GRank returning ``[N, K]`` basket arrays over internal node ids.
+
+    With ``return_info=True`` returns ``(baskets, info)`` where ``info`` is
+    a dict with ``iterations_ran`` — the number of half-sweeps the main loop
+    actually executed (the honest denominator for throughput reporting; the
+    tolerance stop can end the loop before ``iterations``).
 
     With ``mesh`` the basket arrays are row-sharded over the mesh's node
     axis (see parallel/mesh.py) and XLA partitions every sweep across the
@@ -206,7 +216,8 @@ def grank_baskets(
 
     n = graph.num_nodes
     if n == 0:
-        return empty_baskets(0, K)
+        out = empty_baskets(0, K)
+        return (out, {"iterations_ran": 0}) if return_info else out
 
     from ..ops.dense import dense_grank_run, use_dense_engine
 
@@ -216,6 +227,7 @@ def grank_baskets(
         return dense_grank_run(
             graph, K, L, iterations, damping, tolerance,
             matmul_dtype=matmul_dtype, exact_trunc=exact_trunc,
+            return_info=return_info,
         )
 
     if mesh is not None and merge_algo is None:
@@ -249,7 +261,7 @@ def grank_baskets(
 
     compute_diff = tolerance >= 0
     if not host_loop:
-        basket = _full_run(
+        basket, h = _full_run(
             basket,
             dev_buckets[0],
             dev_buckets[1],
@@ -262,7 +274,10 @@ def grank_baskets(
             elem_budget,
             algo=merge_algo,
         )
-        return keep_top(basket.ids, basket.scores, K)
+        out = keep_top(basket.ids, basket.scores, K)
+        if return_info:
+            return out, {"iterations_ran": int(h)}
+        return out
 
     # Host-side loop: same semantics, one dispatch + sync per half-sweep.
     # Per-partition maxDiff slots, initialised to the tolerance so each
@@ -286,7 +301,10 @@ def grank_baskets(
         max_diff[0], max_diff[1] = max_diff[1], max_diff[0]
         i += 1
 
-    return keep_top(basket.ids, basket.scores, K)
+    out = keep_top(basket.ids, basket.scores, K)
+    if return_info:
+        return out, {"iterations_ran": i}
+    return out
 
 
 def grank(

@@ -81,6 +81,7 @@ def mccompletepathv2_baskets(
     merge_algo: str | None = None,
     engine: str = "auto",
     matmul_dtype=None,
+    return_info: bool = False,
 ) -> Baskets:
     """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
 
@@ -101,7 +102,8 @@ def mccompletepathv2_baskets(
 
     n = graph.num_nodes
     if n == 0:
-        return empty_baskets(0, K)
+        out = empty_baskets(0, K)
+        return (out, {"walk_steps": 0}) if return_info else out
 
     from ..ops.dense import dense_mc_run, use_dense_engine
 
@@ -109,9 +111,15 @@ def mccompletepathv2_baskets(
         return dense_mc_run(
             graph, K, L, iterations, damping, seed=seed,
             combine_passes=combine_passes, matmul_dtype=matmul_dtype,
+            return_info=return_info,
         )
 
-    basket = walk_baskets(graph, L, iterations, damping, seed=seed)
+    basket = walk_baskets(
+        graph, L, iterations, damping, seed=seed, return_info=return_info
+    )
+    info = None
+    if return_info:
+        basket, info = basket
     plan = graph.merge_plan(None)
     buckets = device_plan(plan, n)
     damping_d = jnp.float32(damping)
@@ -121,7 +129,10 @@ def mccompletepathv2_baskets(
         )
     # dangling nodes keep their walk basket {v: 1.0}
     # (mccompletepathv2.h:213-214: factor = 1.0, no successor contributions).
-    return keep_top(basket.ids, basket.scores, K)
+    out = keep_top(basket.ids, basket.scores, K)
+    if return_info:
+        return out, info
+    return out
 
 
 def mccompletepathv2(

@@ -271,11 +271,12 @@ def _dense_run(
         return (h < iterations) & (jnp.maximum(md0, md1) >= tolerance)
 
     init = (jnp.int32(0), tolerance, tolerance, S)
-    _, _, _, S = jax.lax.while_loop(cond, body, init)
+    h, _, _, S = jax.lax.while_loop(cond, body, init)
 
     # Final keepTop(K) (include/grank.h:143-147) + translation back from the
-    # partition-ordered space to original internal ids.
-    return _topk_baskets(S, n, K, perm=perm)
+    # partition-ordered space to original internal ids.  ``h`` = half-sweeps
+    # actually executed, for honest throughput/MFU reporting.
+    return _topk_baskets(S, n, K, perm=perm), h
 
 
 def _topk_baskets(S, n: int, K: int, perm=None) -> Baskets:
@@ -315,8 +316,14 @@ def dense_grank_run(
     matmul_dtype=None,
     recall: float = DENSE_TRUNC_RECALL,
     exact_trunc: bool = False,
+    return_info: bool = False,
 ) -> Baskets:
-    """Run GRank end-to-end with the dense MXU engine (see module docstring)."""
+    """Run GRank end-to-end with the dense MXU engine (see module docstring).
+
+    ``return_info=True`` additionally returns ``{"iterations_ran": h,
+    "flops": f}`` — half-sweeps actually executed and the matmul FLOPs they
+    cost — so callers report measured (not nominal) throughput.
+    """
     plan = build_dense_plan(graph, damping)
     mm_dtype = matmul_dtype or default_matmul_dtype()
     A0, A1, S = _dense_init(
@@ -337,7 +344,7 @@ def dense_grank_run(
         exact_trunc=exact_trunc,
     )
     compute_diff = tolerance >= 0
-    return _dense_run(
+    baskets, h = _dense_run(
         A0,
         A1,
         S,
@@ -354,6 +361,16 @@ def dense_grank_run(
         recall=recall,
         exact_trunc=exact_trunc,
     )
+    if return_info:
+        h = int(h)
+        # partition 0 sweeps first; h half-sweeps alternate 0,1,0,1,...
+        sweeps0 = (h + 1) // 2
+        sweeps1 = h // 2
+        flops = 2 * plan.n_pad * plan.n_pad * (
+            sweeps0 * plan.n0 + sweeps1 * plan.n1
+        )
+        return baskets, {"iterations_ran": h, "flops": flops}
+    return baskets
 
 
 # --------------------------------------------------------------------------
@@ -433,16 +450,26 @@ def dense_mc_run(
     matmul_dtype=None,
     recall: float = DENSE_TRUNC_RECALL,
     exact_trunc: bool = False,
+    return_info: bool = False,
 ) -> Baskets:
     """MCCompletePathV2 end-to-end with the dense engine: quota-slot walks
     accumulate into an [N, N] count matrix (ops/walk.py), then the combine
-    runs as ``combine_passes`` MXU matmuls."""
+    runs as ``combine_passes`` MXU matmuls.
+
+    ``return_info=True`` additionally returns ``{"walk_steps": v}`` — the
+    number of walker hops that actually deposited a visit (measured from the
+    normalized count sums: each source row sums to 1 + visits/R), the honest
+    numerator for walk-steps/s.
+    """
     from .walk import walk_count_chunks
 
     n = graph.num_nodes
     n_pad = max(_LANE, -(-n // _LANE) * _LANE)
     counts = jnp.zeros((n_pad, n_pad), jnp.float32)
+    visits = 0.0
     for s, chunk in walk_count_chunks(graph, iterations, damping, seed=seed):
+        if return_info:
+            visits += float(jnp.sum(chunk) - chunk.shape[0]) * iterations
         counts = _write_trunc_chunk(
             counts, chunk, s, n_pad, min(L, n), recall, exact_trunc
         )
@@ -453,7 +480,7 @@ def dense_mc_run(
     src = np.repeat(np.arange(n, dtype=np.int64), deg).astype(np.int32)
     dst = graph.indices.astype(np.int32)
     mm_dtype = jnp.dtype(matmul_dtype or default_matmul_dtype())
-    return _dense_mc_combine(
+    out = _dense_mc_combine(
         jnp.asarray(src),
         jnp.asarray(dst),
         jnp.ones(src.shape, jnp.float32),
@@ -468,3 +495,6 @@ def dense_mc_run(
         exact_trunc=exact_trunc,
         mm_dtype=mm_dtype,
     )
+    if return_info:
+        return out, {"walk_steps": int(round(visits))}
+    return out

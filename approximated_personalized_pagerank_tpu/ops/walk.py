@@ -27,15 +27,29 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .basket import Baskets, keep_top
+from .basket import SENTINEL, Baskets, keep_top
 
-__all__ = ["walk_counts_chunk", "walk_baskets", "default_max_steps"]
+__all__ = [
+    "walk_counts_chunk",
+    "walk_trace_chunk",
+    "walk_baskets",
+    "default_max_steps",
+]
+
+# Above this node count the [C, N] dense count rows stop making sense (a
+# handful of sources per dispatch) and the trace engine takes over: visit
+# ids are recorded in an O(steps-per-source) buffer and counted by one
+# sort + run-length pass, so memory is independent of N.
+DENSE_COUNT_MAX_NODES = int(
+    os.environ.get("PPR_WALK_DENSE_MAX_NODES", "32768")
+)
 
 
 def default_max_steps(damping: float, eps: float = 1e-9) -> int:
@@ -152,6 +166,140 @@ def walk_counts_chunk(
     return counts
 
 
+@functools.partial(
+    jax.jit, static_argnames=("slots", "macro_steps", "unroll")
+)
+def walk_trace_chunk(
+    start_deg: jax.Array,  # int32[n, 2]: (indptr[v], out_degree[v]) packed
+    indices: jax.Array,
+    sources: jax.Array,  # int32[C]
+    key: jax.Array,
+    damping: jax.Array,
+    quota: jax.Array,  # int32[slots]: walks per slot, sums to floor(R*damping)
+    slots: int,
+    macro_steps: int,
+    unroll: int,
+) -> jax.Array:
+    """Visit trace ``int32[C, macro_steps*unroll*slots]`` for a source chunk.
+
+    The scale-path twin of :func:`walk_counts_chunk`: the stepping logic and
+    PRNG stream are IDENTICAL (same cohort, same draws, same horizon — the
+    two engines produce bitwise-equal visit multisets for equal arguments),
+    but instead of scatter-adding into an O(N)-per-source count row, each
+    hop's destination is *recorded* into a dense trace column.  Counting
+    then happens in one sort + run-length pass (:func:`_trace_topl`), so
+    per-source memory is O(steps), independent of the graph size — the fix
+    for the reference-scale gap called out in round 1 (dense count rows
+    collapse to ~5 sources/dispatch at N=4.8M).
+
+    Idle slots record SENTINEL.  A block of ``unroll`` hops is written with
+    one dynamic-slice store per loop body — no scatters anywhere.
+    """
+    c = sources.shape[0]
+    width = macro_steps * unroll * slots
+    trace = jnp.full((c, width), SENTINEL, dtype=jnp.int32)
+    if slots == 0 or indices.shape[0] == 0:
+        return trace
+
+    src2 = jnp.broadcast_to(sources[:, None], (c, slots)).astype(jnp.int32)
+    cur0 = src2
+    rem0 = jnp.broadcast_to(quota[None, :], (c, slots)).astype(jnp.int32)
+    rem0 = jnp.where(start_deg[src2, 1] > 0, rem0, 0)
+
+    def cond(state):
+        step, _, rem, _ = state
+        return (step < macro_steps) & jnp.any(rem > 0)
+
+    def body(state):
+        step, cur, rem, trace = state
+        visits = []
+        for hop in range(unroll):
+            k_step = jax.random.fold_in(key, step * unroll + hop)
+            k_choice, k_cont = jax.random.split(k_step)
+            pd = start_deg[cur]
+            start, deg = pd[..., 0], pd[..., 1]
+            stepping = (rem > 0) & (deg > 0)
+            u = jax.random.uniform(k_choice, (c, slots))
+            j = jnp.minimum(
+                (u * deg.astype(jnp.float32)).astype(jnp.int32),
+                jnp.maximum(deg - 1, 0),
+            )
+            nxt = indices[jnp.clip(start + j, 0, indices.shape[0] - 1)]
+            visits.append(jnp.where(stepping, nxt, SENTINEL))
+            u2 = jax.random.uniform(k_cont, (c, slots))
+            walk_ends = (rem > 0) & (((deg > 0) & (u2 > damping)) | (deg == 0))
+            rem = jnp.where(walk_ends, rem - 1, rem)
+            cur = jnp.where(stepping & ~walk_ends, nxt, src2)
+        block = jnp.concatenate(visits, axis=-1)  # [C, unroll*slots]
+        trace = jax.lax.dynamic_update_slice(
+            trace, block, (0, step * (unroll * slots))
+        )
+        return step + 1, cur, rem, trace
+
+    _, _, _, trace = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur0, rem0, trace)
+    )
+    return trace
+
+
+@functools.partial(jax.jit, static_argnames=("L", "row_chunk"))
+def _trace_topl(
+    trace: jax.Array,  # int32[C, W]
+    sources: jax.Array,  # int32[C]
+    r_total: jax.Array,
+    L: int,
+    row_chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Normalized top-L count baskets from a visit trace.
+
+    Appends the source seed (count R — every walk counts its source once,
+    mccompletepathv2.h:124) as one extra column, then per row: sort by id,
+    collapse runs (run length == visit count), top-L, divide by R
+    (mccompletepathv2.h:158-160).  Rows are processed in ``row_chunk``
+    batches under lax.map to bound sort temporaries.
+    """
+    from .merge import _merge_rows
+
+    c, w = trace.shape
+    ids = jnp.concatenate([trace, sources[:, None].astype(jnp.int32)], axis=1)
+    scores = jnp.concatenate(
+        [
+            (trace >= 0).astype(jnp.float32),
+            jnp.broadcast_to(
+                r_total.astype(jnp.float32), (c,)
+            )[:, None],
+        ],
+        axis=1,
+    )
+    n_chunks = -(-c // row_chunk)
+    pad = n_chunks * row_chunk - c
+    if pad:
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=SENTINEL)
+        scores = jnp.pad(scores, ((0, pad), (0, 0)))
+
+    def one(args):
+        i, s = args
+        out = _merge_rows(i, s, L, "sort")
+        return out.ids, out.scores
+
+    if n_chunks == 1:
+        out_ids, out_scores = one((ids, scores))
+    else:
+        out_ids, out_scores = jax.lax.map(
+            one,
+            (
+                ids.reshape(n_chunks, row_chunk, w + 1),
+                scores.reshape(n_chunks, row_chunk, w + 1),
+            ),
+        )
+        out_ids = out_ids.reshape(n_chunks * row_chunk, L)
+        out_scores = out_scores.reshape(n_chunks * row_chunk, L)
+    if pad:
+        out_ids = out_ids[:c]
+        out_scores = out_scores[:c]
+    return out_ids, out_scores / jnp.maximum(r_total.astype(jnp.float32), 1.0)
+
+
 def _quota(total: int, slots: int) -> np.ndarray:
     base, rem = divmod(total, slots)
     q = np.full(slots, base, dtype=np.int32)
@@ -210,6 +358,83 @@ def _walk_plan(
         )
     source_chunk = min(source_chunk, max(n, 1))
     return source_chunk, slots, quota, max_steps
+
+
+def _trace_plan(
+    iterations: int,
+    damping: float,
+    source_chunk: int | None,
+    slots: int | None,
+    unroll: int,
+):
+    """Host-side cohort sizing for the trace engine: (chunk, slots, quota,
+    macro_steps, trace width).  The trace buffer is capped at ~32M int32
+    (~128MB); the chunk adapts to the per-source trace width."""
+    total = int(iterations * damping)
+    if slots is None:
+        slots = int(min(16, max(total, 1)))
+    slots = max(1, min(slots, max(total, 1)))
+    quota = _quota(total, slots)
+    max_steps = _horizon(total, slots, damping)
+    macro_steps = -(-max_steps // max(unroll, 1))
+    width = macro_steps * unroll * slots
+    if source_chunk is None:
+        source_chunk = int(max(8, min(8192, (32 << 20) // max(width, 1))))
+    return source_chunk, slots, quota, macro_steps, width
+
+
+def walk_trace_basket_chunks(
+    graph,
+    L: int,
+    iterations: int,
+    damping: float,
+    seed: int | None = None,
+    source_chunk: int | None = None,
+    slots: int | None = None,
+    unroll: int = 32,
+):
+    """Yield ``(start_row, Baskets, visits)`` normalized top-L walk baskets
+    per source chunk using the O(N)-independent trace engine."""
+    from ..models.common import device_graph
+
+    n = graph.num_nodes
+    dg = device_graph(graph)
+    start_deg = jnp.stack(
+        [dg.indptr[:-1].astype(jnp.int32), dg.out_degree.astype(jnp.int32)],
+        axis=-1,
+    )
+    source_chunk, slots, quota, macro_steps, width = _trace_plan(
+        iterations, damping, source_chunk, slots, unroll
+    )
+    source_chunk = min(source_chunk, max(n, 1))
+    row_chunk = int(max(1, min(source_chunk, (1 << 22) // max(width + 1, 1))))
+    if seed is None:
+        seed = int(np.random.SeedSequence().entropy % (2**31))
+    root = jax.random.PRNGKey(seed)
+    damping_d = jnp.float32(damping)
+    r_total = jnp.float32(iterations)
+    quota_d = jnp.asarray(quota)
+    for s in range(0, n, source_chunk):
+        chunk_sources = np.arange(s, min(s + source_chunk, n), dtype=np.int32)
+        pad = source_chunk - chunk_sources.size
+        padded = np.pad(chunk_sources, (0, pad), constant_values=0)
+        trace = walk_trace_chunk(
+            start_deg,
+            dg.indices,
+            jnp.asarray(padded),
+            jax.random.fold_in(root, s),
+            damping_d,
+            quota_d,
+            slots,
+            macro_steps,
+            unroll,
+        )
+        # pad rows re-walk source 0; exclude them from the visit count
+        visits = jnp.sum(trace[: chunk_sources.size] >= 0)
+        ids, scores = _trace_topl(trace, jnp.asarray(padded), r_total, L, row_chunk)
+        yield s, Baskets(
+            ids[: chunk_sources.size], scores[: chunk_sources.size]
+        ), visits
 
 
 def walk_count_chunks(
@@ -273,33 +498,64 @@ def walk_baskets(
     source_chunk: int | None = None,
     max_steps: int | None = None,
     slots: int | None = None,
+    return_info: bool = False,
+    engine: str = "auto",
 ) -> Baskets:
     """Top-L walk baskets ``[N, L]`` for every node of the graph.
 
     ``iterations`` is R, the worst-case walks per node, matching the meaning
     of the reference's parameter (include/mccompletepathv2.h:186).
+    ``return_info=True`` additionally returns ``{"walk_steps": v}`` — hops
+    that deposited a visit, measured from the actual visit counts.
+
+    ``engine``: ``"counts"`` scatter-adds into dense ``[C, N]`` count rows
+    (fastest at small N); ``"trace"`` records visit ids and counts them by
+    sort — memory independent of N, the only viable path at graph scale;
+    ``"auto"`` picks by ``DENSE_COUNT_MAX_NODES``.  Both engines draw the
+    same PRNG stream and produce identical visit multisets for equal
+    (seed, slots, unroll).
     """
     n = graph.num_nodes
+    if engine == "auto":
+        engine = "counts" if n <= DENSE_COUNT_MAX_NODES else "trace"
+    if engine not in ("counts", "trace"):
+        raise ValueError(f"unknown walk engine {engine!r}")
     ids_parts, score_parts = [], []
-    for s, counts in walk_count_chunks(
-        graph, iterations, damping, seed=seed, source_chunk=source_chunk,
-        max_steps=max_steps, slots=slots,
-    ):
-        ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), counts.shape)
-        ids = jnp.where(counts > 0, ids, -1)
-        top = keep_top(ids, counts, min(L, n) if n > 0 else L)
-        if top.width < L:
-            top = Baskets(
-                jnp.pad(top.ids, ((0, 0), (0, L - top.width)), constant_values=-1),
-                jnp.pad(top.scores, ((0, 0), (0, L - top.width))),
-            )
-        ids_parts.append(top.ids)
-        score_parts.append(top.scores)
+    visits = 0.0
+    if engine == "trace":
+        for s, top, v in walk_trace_basket_chunks(
+            graph, L, iterations, damping, seed=seed,
+            source_chunk=source_chunk, slots=slots,
+        ):
+            if return_info:
+                visits += float(v)
+            ids_parts.append(top.ids)
+            score_parts.append(top.scores)
+    else:
+        for s, counts in walk_count_chunks(
+            graph, iterations, damping, seed=seed, source_chunk=source_chunk,
+            max_steps=max_steps, slots=slots,
+        ):
+            if return_info:
+                visits += float(jnp.sum(counts) - counts.shape[0]) * iterations
+            ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), counts.shape)
+            ids = jnp.where(counts > 0, ids, -1)
+            top = keep_top(ids, counts, min(L, n) if n > 0 else L)
+            if top.width < L:
+                top = Baskets(
+                    jnp.pad(
+                        top.ids, ((0, 0), (0, L - top.width)), constant_values=-1
+                    ),
+                    jnp.pad(top.scores, ((0, 0), (0, L - top.width))),
+                )
+            ids_parts.append(top.ids)
+            score_parts.append(top.scores)
 
     if not ids_parts:
         from .basket import empty_baskets
 
-        return empty_baskets(0, L)
+        out = empty_baskets(0, L)
+        return (out, {"walk_steps": 0}) if return_info else out
     baskets = Baskets(
         jnp.concatenate(ids_parts, axis=0),
         jnp.concatenate(score_parts, axis=0),
@@ -307,4 +563,6 @@ def walk_baskets(
     # dangling sources: exactly {v: 1.0} (mccompletepathv2.h:162-163) — the
     # count normalisation above already yields that, since their only count
     # is R at the source itself.
+    if return_info:
+        return baskets, {"walk_steps": int(round(visits))}
     return baskets

@@ -13,6 +13,12 @@ Baseline (reference built with g++ -O3 -march=native, run on this machine):
     mccompletepathv2        7,195 ms  jaccard avg 0.944
 ``vs_baseline`` compares against the serial grank (the same algorithm);
 the multi-thread number is reported alongside for context.
+
+All throughput counters are MEASURED, not nominal: iteration counts come
+out of the device loop (a tolerance stop can end it early), MC walk steps
+are derived from the actual visit-count sums, and the sparse-engine numbers
+for both Eat and a 1M-node/10M-edge synthetic graph (the production-scale
+path the dense engine cannot reach) are timed in the same run.
 """
 
 import json
@@ -34,6 +40,7 @@ from approximated_personalized_pagerank_tpu import (
     benchmark_algorithm,
     grank_baskets,
     load_csv_graph,
+    mccompletepathv2_baskets,
 )
 
 REFERENCE_GRANK_MS = 40957.0  # serial C++ grank, this host (see docstring)
@@ -42,6 +49,16 @@ REFERENCE_MC_MS = 7195.0  # mccompletepathv2(50, 200, 1000, 0.85), this host
 EAT_PATH = "/root/reference/example.txt"
 
 K, L, ITERS, DAMPING, TOL = 50, 100, 30, 0.85, 1e-4
+
+# TPU v5e (v5 lite) peak dense bf16 throughput per chip, for the MFU
+# estimate.  (197 TFLOP/s bf16; int8 is 394.)
+V5E_BF16_PEAK_FLOPS = 197e12
+
+# Scale benchmark: sparse engine + walk engine at 1M nodes / 10M edges
+# (soc-LiveJournal density class; the dense engine cannot represent this).
+SCALE_N, SCALE_E = 1_000_000, 10_000_000
+SCALE_SWEEPS = 4  # measured half-sweeps for throughput (not a full run)
+SCALE_WALKS = 200  # R for the walk-engine throughput measurement
 
 
 def load_graph():
@@ -58,9 +75,20 @@ def load_graph():
     )
 
 
-def main():
-    graph, dataset = load_graph()
+def measured_merges(graph, L, half_sweeps):
+    """Basket-merge slot updates actually performed: for each executed
+    half-sweep, every edge out of the active partition contributes one
+    basket of L slots (partition 0 sweeps first)."""
+    part = graph.partition
+    deg = graph.out_degree.astype(np.int64)
+    e0 = int(deg[part == 0].sum())
+    e1 = int(deg[part == 1].sum())
+    s0 = (half_sweeps + 1) // 2
+    s1 = half_sweeps // 2
+    return (s0 * e0 + s1 * e1) * L
 
+
+def bench_eat(graph, dataset):
     # Warm-up: compile all programs (excluded from the timing — the
     # persistent cache makes this cheap on repeat runs).  Must use the same
     # tolerance mode as the timed run (the diff changes the program).
@@ -69,46 +97,133 @@ def main():
     np.asarray(grank_baskets(graph, K, L, 2, DAMPING, TOL).ids)
 
     t0 = time.time()
-    baskets = grank_baskets(graph, K, L, ITERS, DAMPING, TOL)
+    baskets, info = grank_baskets(
+        graph, K, L, ITERS, DAMPING, TOL, return_info=True
+    )
     np.asarray(baskets.ids)
     elapsed = time.time() - t0
+    iters_ran = info["iterations_ran"]
 
     stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
 
-    # Secondary: MCCompletePathV2 with the reference driver's config
+    # MCCompletePathV2 with the reference driver's config
     # (src/main.cc:64: K=50, L=200, R=1000, damping 0.85).
-    from approximated_personalized_pagerank_tpu import mccompletepathv2_baskets
-
     np.asarray(mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=0).ids)
     t0 = time.time()
-    mc = mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=1)
+    mc, mc_info = mccompletepathv2_baskets(
+        graph, 50, 200, 1000, DAMPING, seed=1, return_info=True
+    )
     np.asarray(mc.ids)
     mc_elapsed = time.time() - t0
     mc_stats = benchmark_algorithm(mc, graph, 200, True, seed=0)
 
-    merges = graph.num_edges * L * ITERS  # basket-merge slot updates
+    extra = {
+        "dataset": dataset,
+        "device": str(jax.devices()[0]),
+        "vs_grank_multi_4t": round(REFERENCE_GRANK_MULTI_MS / 1000.0 / elapsed, 2),
+        "iterations_ran": iters_ran,
+        "basket_merges_per_s": round(measured_merges(graph, L, iters_ran) / elapsed),
+        "jaccard_average": round(stats["jaccard average"], 4),
+        "jaccard_min": round(stats["jaccard min"], 4),
+        "kendall_average": round(stats["kendall average"], 4),
+        "recall_average": round(stats["recall average"], 4),
+        "average_map_size": round(stats["average map size"], 2),
+        "mc_wall_time_s": round(mc_elapsed, 4),
+        "mc_vs_reference": round(REFERENCE_MC_MS / 1000.0 / mc_elapsed, 2),
+        "mc_walk_steps": mc_info["walk_steps"],
+        "mc_walk_steps_per_s": round(mc_info["walk_steps"] / mc_elapsed),
+        "mc_jaccard_average": round(mc_stats["jaccard average"], 4),
+        "mc_kendall_average": round(mc_stats["kendall average"], 4),
+    }
+    if "flops" in info:  # dense engine: report measured MFU
+        extra["dense_tflops"] = round(info["flops"] / elapsed / 1e12, 1)
+        extra["dense_mfu"] = round(info["flops"] / elapsed / V5E_BF16_PEAK_FLOPS, 3)
+    return elapsed, extra
+
+
+def bench_sparse_eat(graph):
+    """The production (scalable) engine on the same canonical Eat config."""
+    np.asarray(
+        grank_baskets(graph, K, L, 2, DAMPING, TOL, engine="sparse").ids
+    )
+    t0 = time.time()
+    baskets, info = grank_baskets(
+        graph, K, L, ITERS, DAMPING, TOL, engine="sparse", return_info=True
+    )
+    np.asarray(baskets.ids)
+    elapsed = time.time() - t0
+    stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
+    return {
+        "sparse_wall_time_s": round(elapsed, 4),
+        "sparse_iterations_ran": info["iterations_ran"],
+        "sparse_merges_per_s": round(
+            measured_merges(graph, L, info["iterations_ran"]) / elapsed
+        ),
+        "sparse_jaccard_average": round(stats["jaccard average"], 4),
+        "sparse_recall_average": round(stats["recall average"], 4),
+    }
+
+
+def bench_scale():
+    """Measured sparse-engine + walk-engine throughput at 1M nodes."""
+    rng = np.random.default_rng(1)
+    graph = Graph.from_edges(
+        rng.integers(0, SCALE_N, size=SCALE_E),
+        rng.integers(0, SCALE_N, size=SCALE_E),
+        num_nodes=SCALE_N,
+    )
+    # GRank sparse: time SCALE_SWEEPS half-sweeps (tolerance<0 disables the
+    # stop so exactly that many run; warm-up with the same program).
+    np.asarray(
+        grank_baskets(graph, K, L, 1, DAMPING, -1.0, engine="sparse").ids
+    )
+    t0 = time.time()
+    baskets, info = grank_baskets(
+        graph, K, L, SCALE_SWEEPS, DAMPING, -1.0, engine="sparse",
+        return_info=True,
+    )
+    np.asarray(baskets.ids)
+    elapsed = time.time() - t0
+    out = {
+        "scale_nodes": SCALE_N,
+        "scale_edges": SCALE_E,
+        "scale_grank_half_sweeps": info["iterations_ran"],
+        "scale_grank_wall_s": round(elapsed, 3),
+        "scale_grank_merges_per_s": round(
+            measured_merges(graph, L, info["iterations_ran"]) / elapsed
+        ),
+    }
+    # Walk engine: R walks/node over all 1M sources, measured visits.
+    from approximated_personalized_pagerank_tpu.ops.walk import walk_baskets
+
+    t0 = time.time()
+    wb, winfo = walk_baskets(
+        graph, L, SCALE_WALKS, DAMPING, seed=0, return_info=True
+    )
+    np.asarray(wb.ids)
+    walk_elapsed = time.time() - t0
+    out["scale_walk_wall_s"] = round(walk_elapsed, 3)
+    out["scale_walk_steps"] = winfo["walk_steps"]
+    out["scale_walk_steps_per_s"] = round(winfo["walk_steps"] / walk_elapsed)
+    return out
+
+
+def main():
+    graph, dataset = load_graph()
+    elapsed, extra = bench_eat(graph, dataset)
+    extra.update(bench_sparse_eat(graph))
+    if os.environ.get("PPR_BENCH_SCALE", "1") != "0":
+        try:
+            extra.update(bench_scale())
+        except Exception as e:  # scale bench must never sink the headline
+            extra["scale_error"] = f"{type(e).__name__}: {e}"
+
     result = {
         "metric": "grank_eat_wall_time",
         "value": round(elapsed, 4),
         "unit": "s",
         "vs_baseline": round(REFERENCE_GRANK_MS / 1000.0 / elapsed, 2),
-        "extra": {
-            "dataset": dataset,
-            "device": str(jax.devices()[0]),
-            "vs_grank_multi_4t": round(
-                REFERENCE_GRANK_MULTI_MS / 1000.0 / elapsed, 2
-            ),
-            "basket_merges_per_s": round(merges / elapsed),
-            "jaccard_average": round(stats["jaccard average"], 4),
-            "jaccard_min": round(stats["jaccard min"], 4),
-            "kendall_average": round(stats["kendall average"], 4),
-            "recall_average": round(stats["recall average"], 4),
-            "average_map_size": round(stats["average map size"], 2),
-            "mc_wall_time_s": round(mc_elapsed, 4),
-            "mc_vs_reference": round(REFERENCE_MC_MS / 1000.0 / mc_elapsed, 2),
-            "mc_jaccard_average": round(mc_stats["jaccard average"], 4),
-            "mc_kendall_average": round(mc_stats["kendall average"], 4),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

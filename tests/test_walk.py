@@ -63,6 +63,61 @@ def test_dangling_source_is_unit_self():
     assert (ids[1][1:] == -1).all()
 
 
+def test_trace_engine_equals_counts_engine():
+    """The trace engine draws the same PRNG stream as the dense-count engine;
+    for equal (seed, source_chunk, slots) the per-source (id, count) basket
+    multisets must be identical."""
+    rng = np.random.default_rng(5)
+    g = Graph.from_edges(
+        rng.integers(0, 50, 400), rng.integers(0, 50, 400), num_nodes=50
+    )
+    kw = dict(seed=11, source_chunk=16, slots=8)
+    a, ia = walk_baskets(g, 10, 300, 0.85, engine="counts", return_info=True, **kw)
+    b, ib = walk_baskets(g, 10, 300, 0.85, engine="trace", return_info=True, **kw)
+    assert ia["walk_steps"] == ib["walk_steps"] > 0
+
+    def rows(bask):
+        ids, sc = np.asarray(bask.ids), np.asarray(bask.scores)
+        return [
+            sorted((int(i), round(float(s), 6)) for i, s in zip(r, q) if i >= 0)
+            for r, q in zip(ids, sc)
+        ]
+
+    assert rows(a) == rows(b)
+
+
+def test_trace_engine_dangling_and_empty():
+    g = Graph.from_dict({0: [1], 1: []})
+    b = walk_baskets(g, 3, 100, 0.85, seed=0, engine="trace")
+    ids, scores = np.asarray(b.ids), np.asarray(b.scores)
+    assert ids[1][0] == 1 and scores[1][0] == pytest.approx(1.0)
+    assert (ids[1][1:] == -1).all()
+    # no-edge graph: every basket is exactly {v: 1.0}
+    g2 = Graph.from_dict({0: [], 1: []})
+    b2 = walk_baskets(g2, 2, 50, 0.85, seed=0, engine="trace")
+    assert np.asarray(b2.ids)[:, 0].tolist() == [0, 1]
+    np.testing.assert_allclose(np.asarray(b2.scores)[:, 0], 1.0)
+
+
+def test_mc_end_to_end_with_trace_engine():
+    """MCCompletePathV2 through the trace walk engine (forced) matches the
+    quality of the counts engine on a small cycle-ish graph: top-1 must be
+    the source itself for every node."""
+    from approximated_personalized_pagerank_tpu import mccompletepathv2_baskets
+    import approximated_personalized_pagerank_tpu.ops.walk as walk_mod
+
+    n = 20
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 3) % n] for i in range(n)})
+    old = walk_mod.DENSE_COUNT_MAX_NODES
+    walk_mod.DENSE_COUNT_MAX_NODES = 0  # force trace via the auto path
+    try:
+        b = mccompletepathv2_baskets(g, 5, 10, 500, 0.85, seed=2, engine="sparse")
+    finally:
+        walk_mod.DENSE_COUNT_MAX_NODES = old
+    ids = np.asarray(b.ids)
+    assert (ids[:, 0] == np.arange(n)).all()
+
+
 def test_chunked_equals_one_chunk_totals():
     # chunking only batches sources; totals per source must be seeded per
     # chunk but the *distribution* invariants hold: compare visit-mass sums.
