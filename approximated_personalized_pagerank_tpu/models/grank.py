@@ -230,10 +230,16 @@ def grank_baskets(
             return_info=return_info,
         )
 
-    if mesh is not None and merge_algo is None:
-        # Pallas kernels have no GSPMD partitioning rules; sharded sweeps
-        # use the XLA sort pipeline, which partitions cleanly.
-        merge_algo = "sort"
+    if mesh is not None:
+        # Sharded path: explicit owner-centric ring communication via
+        # shard_map (parallel/ring.py) — per-device memory is O(N/D * L),
+        # unlike the GSPMD fallback that all-gathers the basket tensor.
+        from ..parallel.ring import ring_grank_baskets
+
+        return ring_grank_baskets(
+            graph, K, L, iterations, damping, tolerance, mesh=mesh,
+            merge_algo=merge_algo, return_info=return_info,
+        )
     plans = [graph.merge_plan(0), graph.merge_plan(1)]
     dev_buckets = [device_plan(p, n) for p in plans]
     all_buckets = dev_buckets[0] + dev_buckets[1]
@@ -245,16 +251,6 @@ def grank_baskets(
         np.concatenate([plans[0].dangling_rows, plans[1].dangling_rows]),
         damping,
     )
-    if mesh is not None:
-        from ..parallel.mesh import replicated, row_sharding
-
-        basket = Baskets(
-            jax.device_put(basket.ids, row_sharding(mesh)),
-            jax.device_put(basket.scores, row_sharding(mesh)),
-        )
-        dev_buckets = jax.device_put(dev_buckets, replicated(mesh))
-        all_buckets = dev_buckets[0] + dev_buckets[1]
-        damping_d = jax.device_put(damping_d, replicated(mesh))
     basket = _init_step(
         basket, all_buckets, damping_d, L, n, elem_budget, algo=merge_algo
     )

@@ -32,7 +32,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 import numpy as np
 
 from approximated_personalized_pagerank_tpu import Graph, grank_baskets
-from approximated_personalized_pagerank_tpu.ops.walk import walk_count_chunks
+from approximated_personalized_pagerank_tpu.ops.walk import walk_baskets
 
 K, L, DAMPING, TOL = 50, 100, 0.85, 1e-4
 
@@ -55,30 +55,33 @@ def main():
     print(f"  warm-up (1 half-sweep incl compile): {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    baskets = grank_baskets(graph, K, L, iters, DAMPING, TOL, engine="sparse")
+    baskets, info = grank_baskets(
+        graph, K, L, iters, DAMPING, TOL, engine="sparse", return_info=True
+    )
     np.asarray(baskets.ids)
     dt = time.time() - t0
-    merges = graph.num_edges * L * iters / 2  # half the edges per half-sweep
+    # measured: each executed half-sweep covers the active partition's edges
+    part = graph.partition
+    deg = graph.out_degree.astype(np.int64)
+    e_p = [int(deg[part == p].sum()) for p in (0, 1)]
+    h = info["iterations_ran"]
+    merges = ((h + 1) // 2 * e_p[0] + h // 2 * e_p[1]) * L
     print(
-        f"grank sparse: {iters} half-sweeps in {dt:.1f}s "
-        f"-> {merges / dt / 1e6:.0f}M basket-merge slot-updates/s/chip"
+        f"grank sparse: {h} half-sweeps in {dt:.1f}s "
+        f"-> {merges / dt / 1e6:.0f}M basket-merge slot-updates/s/chip (measured)"
     )
 
-    print("walk phase (R=200)...")
+    print("walk phase (trace engine, R=200)...")
     r = 200
-    for _, c in walk_count_chunks(graph, r, DAMPING, seed=0):
-        np.asarray(c[0, 0])  # warm-up/compile pass
-        break
     t0 = time.time()
-    total = 0
-    for _, c in walk_count_chunks(graph, r, DAMPING, seed=1):
-        total += c.shape[0]
-    np.asarray(c[0, 0])
+    wb, winfo = walk_baskets(
+        graph, L, r, DAMPING, seed=1, engine="trace", return_info=True
+    )
+    np.asarray(wb.ids)
     dt = time.time() - t0
-    steps = n * int(r * DAMPING) / (1 - DAMPING)  # expected visit-steps
     print(
-        f"walks: {total} sources x {r} walks in {dt:.1f}s "
-        f"-> {steps / dt / 1e6:.0f}M walk-steps/s/chip"
+        f"walks: {n} sources x {r} walks in {dt:.1f}s "
+        f"-> {winfo['walk_steps'] / dt / 1e6:.1f}M walk-steps/s/chip (measured)"
     )
 
 

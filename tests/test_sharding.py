@@ -70,3 +70,29 @@ def test_sharded_result_is_row_sharded():
     baskets = grank_multi_baskets(g, 4, 8, 10, 0.85, 1e-4, 4)
     # result must be valid regardless of final layout; check values are live
     assert (np.asarray(baskets.ids) >= 0).sum() == 16 * 4
+
+
+def test_ring_per_device_memory_is_sharded(rng):
+    """The round-1 failure mode was GSPMD all-gathering the [N, L] basket
+    per sweep (per-device peak ~ full-graph memory).  The ring program must
+    keep a device's peak well under the full basket: ~2 basket shards + the
+    bounded candidate round (parallel/ring.py module docstring)."""
+    from approximated_personalized_pagerank_tpu.parallel.ring import (
+        ring_grank_baskets,
+    )
+
+    n, e, L = 20_000, 200_000, 32
+    g = Graph.from_edges(
+        rng.integers(0, n, size=e), rng.integers(0, n, size=e), num_nodes=n
+    )
+    baskets, info = ring_grank_baskets(
+        g, 16, L, 2, 0.85, -1.0, n_shards=8, analyze_memory=True
+    )
+    assert (np.asarray(baskets.ids)[:, 0] >= 0).all()
+    mem = info["memory_analysis"]
+    full_basket_bytes = n * L * 8  # ids i32 + scores f32
+    # peak per device must be far below one full basket replica
+    assert mem.peak_memory_in_bytes < 0.5 * full_basket_bytes, (
+        mem.peak_memory_in_bytes,
+        full_basket_bytes,
+    )
