@@ -22,7 +22,12 @@ def sample_graph_path() -> str:
 from .models.benchmark import benchmark_algorithm
 from .models.common import baskets_to_dict, device_graph
 from .models.grank import grank, grank_baskets, grank_multi, grank_multi_baskets
-from .models.mccompletepathv2 import mccompletepathv2, mccompletepathv2_baskets
+from .models.mccompletepathv2 import (
+    mccompletepathv2,
+    mccompletepathv2_baskets,
+    mccompletepathv2_multi,
+    mccompletepathv2_multi_baskets,
+)
 from .models.ppr_single_source import ppr_single_source, ppr_single_source_batch
 from .ops.basket import Baskets
 from .utils.order import execution_order
@@ -39,6 +44,8 @@ __all__ = [
     "grank_multi_baskets",
     "mccompletepathv2",
     "mccompletepathv2_baskets",
+    "mccompletepathv2_multi",
+    "mccompletepathv2_multi_baskets",
     "ppr_single_source",
     "ppr_single_source_batch",
     "benchmark_algorithm",

@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-strict", action="store_true")
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--save", default=None, help="save baskets to .npz")
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="write a jax.profiler trace of the run to DIR "
+        "(view with TensorBoard or ui.perfetto.dev)",
+    )
     return p
 
 
@@ -96,6 +101,11 @@ def main(argv=None) -> int:
     graph = load_csv_graph(graph_path)
     print(f"nodes: {graph.num_nodes} edges: {graph.num_edges}")
 
+    from .utils.profiling import trace
+    from contextlib import ExitStack
+
+    stack = ExitStack()
+    stack.enter_context(trace(args.profile))
     t0 = time.time()
     if cfg.algorithm == "grank":
         baskets = grank_baskets(
@@ -128,7 +138,10 @@ def main(argv=None) -> int:
 
     np.asarray(baskets.ids)  # block_until_ready is a no-op through the
     # remote-TPU tunnel; a host transfer really synchronizes
+    stack.close()  # flush the profiler trace, if any
     print(f"{cfg.algorithm} run-time = {(time.time() - t0) * 1000:.0f} ms")
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
 
     if not args.no_eval:
         stats = benchmark_algorithm(

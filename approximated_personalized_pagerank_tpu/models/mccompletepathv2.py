@@ -82,6 +82,7 @@ def mccompletepathv2_baskets(
     engine: str = "auto",
     matmul_dtype=None,
     return_info: bool = False,
+    mesh=None,
 ) -> Baskets:
     """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
 
@@ -104,6 +105,26 @@ def mccompletepathv2_baskets(
     if n == 0:
         out = empty_baskets(0, K)
         return (out, {"walk_steps": 0}) if return_info else out
+
+    if mesh is not None:
+        # Sharded MC: walks are source-sharded data parallelism (replicated
+        # CSR, bitwise-equal to unsharded); the combine is the exact ring
+        # merge (parallel/ring.py) — the successor of grankMulti applied to
+        # MCCompletePathV2, which the reference never parallelized.
+        from ..parallel.ring import ring_mc_combine
+
+        basket = walk_baskets(
+            graph, L, iterations, damping, seed=seed,
+            return_info=return_info, mesh=mesh,
+        )
+        info = None
+        if return_info:
+            basket, info = basket
+        out = ring_mc_combine(
+            graph, basket, K, L, damping, combine_passes, mesh=mesh,
+            elem_budget=elem_budget, merge_algo=merge_algo,
+        )
+        return (out, info) if return_info else out
 
     from ..ops.dense import dense_mc_run, use_dense_engine
 
@@ -133,6 +154,52 @@ def mccompletepathv2_baskets(
     if return_info:
         return out, info
     return out
+
+
+def mccompletepathv2_multi_baskets(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    n_shards: int,
+    seed: int | None = None,
+    combine_passes: int = 2,
+) -> Baskets:
+    """Sharded MCCompletePathV2 over ``n_shards`` devices: source-sharded
+    walks + the exact ring combine.  The reference's only parallel variant
+    is GRank (header-only/grankMulti.h); this extends the same node-range
+    data parallelism to the Monte-Carlo algorithm."""
+    from ..utils.validation import check_shards
+    from ..parallel.mesh import make_mesh
+
+    check_shards(n_shards)
+    mesh = make_mesh(n_shards)
+    return mccompletepathv2_baskets(
+        graph, K, L, iterations, damping, seed=seed,
+        combine_passes=combine_passes, mesh=mesh,
+    )
+
+
+def mccompletepathv2_multi(
+    graph: Graph,
+    K: int,
+    L: int,
+    iterations: int,
+    damping: float,
+    n_shards: int,
+    seed: int | None = None,
+    combine_passes: int = 2,
+) -> Dict[Hashable, Dict[Hashable, float]]:
+    """grankMulti-shaped sharded MC API returning the reference's
+    map-of-maps."""
+    return baskets_to_dict(
+        mccompletepathv2_multi_baskets(
+            graph, K, L, iterations, damping, n_shards, seed=seed,
+            combine_passes=combine_passes,
+        ),
+        graph,
+    )
 
 
 def mccompletepathv2(

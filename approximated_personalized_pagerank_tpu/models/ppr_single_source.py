@@ -111,27 +111,47 @@ def ppr_single_source_batch(
     damping: float,
     tolerance: float,
     edge_elem_budget: int = DEFAULT_EDGE_ELEM_BUDGET,
+    mesh=None,
 ) -> jax.Array:
-    """Dense exact PPR vectors ``float32[B, N]`` for internal-id sources."""
+    """Dense exact PPR vectors ``float32[B, N]`` for internal-id sources.
+
+    With ``mesh`` the source batch is row-sharded across the mesh (CSR
+    replicated) — embarrassingly parallel scale-out for the oracle, e.g.
+    evaluating many test sources across a pod slice.
+    """
     check_iterations(iterations)
     check_damping(damping)
     dg = device_graph(graph)
-    sources = jnp.asarray(np.asarray(sources, dtype=np.int32))
-    b = int(sources.shape[0])
+    src_np = np.asarray(sources, dtype=np.int32)
+    b = int(src_np.shape[0])
+    pad = 0
+    args = [dg.indptr, dg.indices, dg.edge_src, dg.out_degree]
+    if mesh is not None and b > 0:
+        from ..parallel.mesh import replicated, row_sharding
+
+        d = mesh.devices.size
+        pad = (-b) % d
+        src_np = np.pad(src_np, (0, pad))
+        rep = replicated(mesh)
+        args = [jax.device_put(a, rep) for a in args]
+        sources_d = jax.device_put(jnp.asarray(src_np), row_sharding(mesh))
+    else:
+        sources_d = jnp.asarray(src_np)
     e = max(graph.num_edges, 1)
-    edge_chunk = int(min(e, max(1024, edge_elem_budget // max(b, 1))))
-    return _power_iterate(
-        dg.indptr,
-        dg.indices,
-        dg.edge_src,
-        dg.out_degree,
-        sources,
+    edge_chunk = int(min(e, max(1024, edge_elem_budget // max(b + pad, 1))))
+    out = _power_iterate(
+        args[0],
+        args[1],
+        args[2],
+        args[3],
+        sources_d,
         jnp.float32(damping),
         jnp.float32(tolerance),
         iterations,
         graph.num_nodes,
         edge_chunk,
     )
+    return out[:b] if pad else out
 
 
 def ppr_single_source(

@@ -2,22 +2,35 @@
 
 Reference: include/mccompletepathv2.h:115-165.  There, each node lazily runs
 ``R`` serial walks with a shared rotating successor index; here **all sources
-walk at once**: a ``[C, W]`` cohort of walkers (C sources x W walkers each)
+walk at once**: a ``[C, W]`` cohort of walkers (C sources x W walker slots)
 advances one hop per step, with
 
 * the first edge always taken and the teleport-before-first-edge accounted by
-  thinning the cohort to ``floor(R * damping)`` walkers up front
+  thinning the cohort to ``floor(R * damping)`` walks up front
   (mccompletepathv2.h:127-132);
 * per-step geometric continuation draws (``u <= damping``,
-  mccompletepathv2.h:155) from counter-based PRNG (jax.random / threefry)
-  instead of the module-level mt19937 (mccompletepathv2.h:32-34);
+  mccompletepathv2.h:155) from counter-based PRNG (jax.random / threefry,
+  batched one call per macro step) instead of the module-level mt19937
+  (mccompletepathv2.h:32-34);
 * uniform random successor choice instead of the serial rotating index — the
   rotating index is a serial-determinism trick worth <=5% precision at low
   walk counts (thesis p.7); walk-count parity compensates;
-* visit counts accumulated densely per source row, then truncated to the
-  top-L — a superset of the reference's in-walk L-cap
-  (mccompletepathv2.h:152-153), which is a memory optimisation that *drops*
-  visits once a basket is full.
+* **work-stealing slots**: a source's ``floor(R*damping)`` walks are a
+  shared pool; any slot whose walk ends (teleport or stranding at a dangling
+  node) immediately claims the next unstarted walk.  This keeps every slot
+  busy until the source's whole quota is spent — on dangling-heavy graphs
+  (Eat: most walks strand within 2 hops) the per-slot-quota design wasted
+  >80% of slot-hops waiting for the straggler slot.
+
+Two accumulation engines share the stepping code (and therefore the PRNG
+stream — equal arguments give bitwise-equal visit multisets):
+
+* ``counts``: scatter-add visits into dense ``[C, N]`` rows — fastest at
+  small N;
+* ``trace``: record visit ids in an O(steps)-per-source buffer and count
+  them with one sort + run-length pass — memory independent of N, the only
+  viable path at graph scale (round-1's dense rows collapsed to ~5 sources
+  per dispatch at N=4.8M).
 
 Counts are divided by the original ``R`` (mccompletepathv2.h:158-160);
 dangling sources yield ``{v: 1.0}`` (mccompletepathv2.h:162-163).
@@ -44,9 +57,7 @@ __all__ = [
 ]
 
 # Above this node count the [C, N] dense count rows stop making sense (a
-# handful of sources per dispatch) and the trace engine takes over: visit
-# ids are recorded in an O(steps-per-source) buffer and counted by one
-# sort + run-length pass, so memory is independent of N.
+# handful of sources per dispatch) and the trace engine takes over.
 DENSE_COUNT_MAX_NODES = int(
     os.environ.get("PPR_WALK_DENSE_MAX_NODES", "32768")
 )
@@ -66,6 +77,56 @@ def default_max_steps(damping: float, eps: float = 1e-9) -> int:
     return max(1, min(10_000, int(math.ceil(math.log(eps) / math.log(damping)))))
 
 
+def _cohort_init(start_deg, sources, total, slots):
+    """Initial cohort state for a source chunk.
+
+    Returns (src2, cur0, rem0, alive0): ``rem0[c]`` is the source's count of
+    not-yet-started walks (the shared pool), ``alive0[c, s]`` marks slots
+    running one of the first ``slots`` walks.  Dangling sources start with
+    nothing (their walks die on the first step with no count,
+    mccompletepathv2.h:162-163).
+    """
+    c = sources.shape[0]
+    src2 = jnp.broadcast_to(sources[:, None], (c, slots)).astype(jnp.int32)
+    has_edges = start_deg[sources, 1] > 0  # [C]
+    slot_idx = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    alive0 = has_edges[:, None] & (slot_idx < total)
+    rem0 = jnp.where(has_edges, jnp.maximum(total - slots, 0), 0).astype(
+        jnp.int32
+    )
+    return src2, src2, rem0, alive0
+
+
+def _cohort_hop(start_deg, indices, src2, cur, rem, alive, u, u2, damping):
+    """One hop of the work-stealing cohort (shared stepping code of both
+    engines — the PRNG draws ``u``/``u2`` are supplied by the caller).
+
+    Returns (visit, stepping, cur, rem, alive): ``visit[c, s]`` is the node
+    stepped to (undefined where ``stepping`` is False — callers mask it).
+    """
+    pd = start_deg[cur]
+    start, deg = pd[..., 0], pd[..., 1]
+    # a slot steps iff its walk is live and not stranded at a dangling node
+    stepping = alive & (deg > 0)
+    j = jnp.minimum(
+        (u * deg.astype(jnp.float32)).astype(jnp.int32),
+        jnp.maximum(deg - 1, 0),
+    )
+    nxt = indices[jnp.clip(start + j, 0, indices.shape[0] - 1)]
+    # geometric continuation: keep walking while u2 <= damping; stranding
+    # (deg == 0) also ends the walk (mccompletepathv2.h:142-155)
+    walk_ends = alive & (((deg > 0) & (u2 > damping)) | (deg == 0))
+    # work stealing: each ending slot claims one unstarted walk from the
+    # source's shared pool, in slot order (cumsum = claim rank; its last
+    # column is the total ender count — no separate reduce)
+    claim_rank = jnp.cumsum(walk_ends.astype(jnp.int32), axis=1)
+    restart = walk_ends & (claim_rank <= rem[:, None])
+    rem = jnp.maximum(rem - claim_rank[:, -1], 0)
+    alive = (alive & ~walk_ends) | restart
+    cur = jnp.where(stepping & ~walk_ends, nxt, src2)
+    return nxt, stepping, cur, rem, alive
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_nodes", "slots", "max_steps", "unroll")
 )
@@ -76,22 +137,13 @@ def walk_counts_chunk(
     key: jax.Array,
     damping: jax.Array,
     r_total: jax.Array,  # original R (for the count normalisation)
-    quota: jax.Array,  # int32[slots]: walks per slot, sums to floor(R*damping)
+    total: jax.Array,  # int32: floor(R * damping) walks per source
     num_nodes: int,
     slots: int,
     max_steps: int,
     unroll: int = 32,
 ) -> jax.Array:
     """Normalized visit counts ``float32[C, num_nodes]`` for a source chunk.
-
-    Quota-slot cohort: each source gets ``slots`` persistent walker slots;
-    a slot runs its ``quota`` walks back-to-back (a finished walk immediately
-    restarts at the source), so scatter bandwidth is not wasted on dead
-    walkers — the reference's cohort-free serial loop (mccompletepathv2.h:
-    142-155) has the same property.  Every walk takes at least one step (the
-    teleport before the first edge is pre-accounted by the floor(R*damping)
-    total quota, mccompletepathv2.h:127-132); per-step continuation draws
-    ``u <= damping`` (mccompletepathv2.h:155).
 
     ``unroll`` hops advance per loop body with their visits batched into ONE
     scatter-add: TPU scatters have a large fixed per-dispatch cost, so
@@ -108,58 +160,40 @@ def walk_counts_chunk(
     # With no edges every walk dies at its (dangling) source immediately;
     # skip the loop (a gather from a 0-length indices array cannot be traced).
     if slots > 0 and indices.shape[0] > 0:
-        src2 = jnp.broadcast_to(sources[:, None], (c, slots)).astype(jnp.int32)
-        cur0 = src2
-        rem0 = jnp.broadcast_to(quota[None, :], (c, slots)).astype(jnp.int32)
-        # a dangling source's walks all die on their first step without
-        # counting anything, exactly like the reference's dangling shortcut
-        # (mccompletepathv2.h:162-163); zero the quota up front instead.
-        rem0 = jnp.where(start_deg[src2, 1] > 0, rem0, 0)
+        src2, cur0, rem0, alive0 = _cohort_init(
+            start_deg, sources, total, slots
+        )
         rows = jnp.broadcast_to(jnp.arange(c)[:, None], (c, slots))
         rows_cat = jnp.tile(rows.reshape(-1), unroll)
 
         def cond(state):
-            step, _, rem, _ = state
-            return (step < max_steps) & jnp.any(rem > 0)
+            step, _, _, alive, _ = state
+            return (step < max_steps) & jnp.any(alive)
 
         def body(state):
-            step, cur, rem, acc = state
+            step, cur, rem, alive, acc = state
+            # ONE batched threefry per macro step for all unroll hops
+            k_macro = jax.random.fold_in(key, step)
+            k_choice, k_cont = jax.random.split(k_macro)
+            u_all = jax.random.uniform(k_choice, (unroll, c, slots))
+            u2_all = jax.random.uniform(k_cont, (unroll, c, slots))
             tgts = []
             vals = []
             for hop in range(unroll):
-                k_step = jax.random.fold_in(key, step * unroll + hop)
-                k_choice, k_cont = jax.random.split(k_step)
-                pd = start_deg[cur]  # one gather for (row start, degree)
-                start, deg = pd[..., 0], pd[..., 1]
-                # a slot steps iff it still has walks and isn't stranded at
-                # a dangling node (stranding ends the walk with no count)
-                stepping = (rem > 0) & (deg > 0)
-                u = jax.random.uniform(k_choice, (c, slots))
-                j = jnp.minimum(
-                    (u * deg.astype(jnp.float32)).astype(jnp.int32),
-                    jnp.maximum(deg - 1, 0),
+                nxt, stepping, cur, rem, alive = _cohort_hop(
+                    start_deg, indices, src2, cur, rem, alive,
+                    u_all[hop], u2_all[hop], damping,
                 )
-                nxt = indices[
-                    jnp.clip(start + j, 0, indices.shape[0] - 1)
-                ]
                 # idle slots deposit 0 into the dead column
                 tgts.append(jnp.where(stepping, nxt, n).reshape(-1))
                 vals.append(stepping.reshape(-1))
-                # geometric continuation: keep walking while u <= damping; a
-                # finished (or stranded) walk restarts the slot at its source
-                u2 = jax.random.uniform(k_cont, (c, slots))
-                walk_ends = (rem > 0) & (
-                    ((deg > 0) & (u2 > damping)) | (deg == 0)
-                )
-                rem = jnp.where(walk_ends, rem - 1, rem)
-                cur = jnp.where(stepping & ~walk_ends, nxt, src2)
             acc = acc.at[rows_cat, jnp.concatenate(tgts)].add(
                 jnp.concatenate(vals).astype(jnp.float32)
             )
-            return step + 1, cur, rem, acc
+            return step + 1, cur, rem, alive, acc
 
-        _, _, _, counts = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), cur0, rem0, counts)
+        _, _, _, _, counts = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cur0, rem0, alive0, counts)
         )
 
     counts = counts[:, :n] / jnp.maximum(r_total.astype(jnp.float32), 1.0)
@@ -175,7 +209,7 @@ def walk_trace_chunk(
     sources: jax.Array,  # int32[C]
     key: jax.Array,
     damping: jax.Array,
-    quota: jax.Array,  # int32[slots]: walks per slot, sums to floor(R*damping)
+    total: jax.Array,  # int32: floor(R * damping) walks per source
     slots: int,
     macro_steps: int,
     unroll: int,
@@ -183,14 +217,12 @@ def walk_trace_chunk(
     """Visit trace ``int32[C, macro_steps*unroll*slots]`` for a source chunk.
 
     The scale-path twin of :func:`walk_counts_chunk`: the stepping logic and
-    PRNG stream are IDENTICAL (same cohort, same draws, same horizon — the
-    two engines produce bitwise-equal visit multisets for equal arguments),
-    but instead of scatter-adding into an O(N)-per-source count row, each
-    hop's destination is *recorded* into a dense trace column.  Counting
-    then happens in one sort + run-length pass (:func:`_trace_topl`), so
-    per-source memory is O(steps), independent of the graph size — the fix
-    for the reference-scale gap called out in round 1 (dense count rows
-    collapse to ~5 sources/dispatch at N=4.8M).
+    PRNG stream are IDENTICAL (shared :func:`_cohort_hop` — the two engines
+    produce bitwise-equal visit multisets for equal arguments), but instead
+    of scatter-adding into an O(N)-per-source count row, each hop's
+    destination is *recorded* into a dense trace column.  Counting happens
+    in one sort + run-length pass (:func:`_trace_topl`), so per-source
+    memory is O(steps), independent of the graph size.
 
     Idle slots record SENTINEL.  A block of ``unroll`` hops is written with
     one dynamic-slice store per loop body — no scatters anywhere.
@@ -201,43 +233,33 @@ def walk_trace_chunk(
     if slots == 0 or indices.shape[0] == 0:
         return trace
 
-    src2 = jnp.broadcast_to(sources[:, None], (c, slots)).astype(jnp.int32)
-    cur0 = src2
-    rem0 = jnp.broadcast_to(quota[None, :], (c, slots)).astype(jnp.int32)
-    rem0 = jnp.where(start_deg[src2, 1] > 0, rem0, 0)
+    src2, cur0, rem0, alive0 = _cohort_init(start_deg, sources, total, slots)
 
     def cond(state):
-        step, _, rem, _ = state
-        return (step < macro_steps) & jnp.any(rem > 0)
+        step, _, _, alive, _ = state
+        return (step < macro_steps) & jnp.any(alive)
 
     def body(state):
-        step, cur, rem, trace = state
+        step, cur, rem, alive, trace = state
+        k_macro = jax.random.fold_in(key, step)
+        k_choice, k_cont = jax.random.split(k_macro)
+        u_all = jax.random.uniform(k_choice, (unroll, c, slots))
+        u2_all = jax.random.uniform(k_cont, (unroll, c, slots))
         visits = []
         for hop in range(unroll):
-            k_step = jax.random.fold_in(key, step * unroll + hop)
-            k_choice, k_cont = jax.random.split(k_step)
-            pd = start_deg[cur]
-            start, deg = pd[..., 0], pd[..., 1]
-            stepping = (rem > 0) & (deg > 0)
-            u = jax.random.uniform(k_choice, (c, slots))
-            j = jnp.minimum(
-                (u * deg.astype(jnp.float32)).astype(jnp.int32),
-                jnp.maximum(deg - 1, 0),
+            nxt, stepping, cur, rem, alive = _cohort_hop(
+                start_deg, indices, src2, cur, rem, alive,
+                u_all[hop], u2_all[hop], damping,
             )
-            nxt = indices[jnp.clip(start + j, 0, indices.shape[0] - 1)]
             visits.append(jnp.where(stepping, nxt, SENTINEL))
-            u2 = jax.random.uniform(k_cont, (c, slots))
-            walk_ends = (rem > 0) & (((deg > 0) & (u2 > damping)) | (deg == 0))
-            rem = jnp.where(walk_ends, rem - 1, rem)
-            cur = jnp.where(stepping & ~walk_ends, nxt, src2)
         block = jnp.concatenate(visits, axis=-1)  # [C, unroll*slots]
         trace = jax.lax.dynamic_update_slice(
             trace, block, (0, step * (unroll * slots))
         )
-        return step + 1, cur, rem, trace
+        return step + 1, cur, rem, alive, trace
 
-    _, _, _, trace = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), cur0, rem0, trace)
+    _, _, _, _, trace = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur0, rem0, alive0, trace)
     )
     return trace
 
@@ -300,22 +322,17 @@ def _trace_topl(
     return out_ids, out_scores / jnp.maximum(r_total.astype(jnp.float32), 1.0)
 
 
-def _quota(total: int, slots: int) -> np.ndarray:
-    base, rem = divmod(total, slots)
-    q = np.full(slots, base, dtype=np.int32)
-    q[:rem] += 1
-    return q
-
-
 def _horizon(total: int, slots: int, damping: float, sigmas: float = 1.5) -> int:
-    """Step cap for a quota-slot cohort: mean + ``sigmas``·std of a slot's
-    total step count (sum of quota geometric walk lengths).
+    """Step cap for a cohort: mean + ``sigmas``·std of a slot's share of the
+    pool (ceil(total/slots) geometric walks back-to-back).
 
-    The while_loop exits when every quota is spent; this horizon bounds the
-    straggler tail, abandoning a sub-percent fraction of the worst-case
-    ``R`` walks (the stragglers' last walks) — far below the Monte-Carlo
-    noise floor of ~1/sqrt(R), and the reference's ``iterations`` is itself
-    only a worst-case walk count (include/mccompletepathv2.h:186).
+    With work stealing the slots drain the shared pool in balance, so this
+    per-slot bound is conservative; the while_loop usually exits earlier
+    (when every walk is finished), and on stranding-heavy graphs much
+    earlier.  Walks abandoned at the horizon are a sub-percent worst-case
+    fraction, far below the Monte-Carlo noise floor of ~1/sqrt(R) (the
+    reference's ``iterations`` is itself only a worst-case walk count,
+    include/mccompletepathv2.h:186).
     """
     if damping <= 0:
         return 1
@@ -335,29 +352,23 @@ def _walk_plan(
     max_steps: int | None,
     slots: int | None,
 ):
-    """Host-side cohort sizing: (chunk, slots, quota array, step cap)."""
+    """Host-side cohort sizing for the counts engine: (chunk, slots, total,
+    step cap)."""
     total = int(iterations * damping)  # floor(R * damping) thinned walks
     if slots is None:
-        # Few slots with a high per-slot quota: a slot's total step count
-        # concentrates around its mean as quota grows (std/mean ~ 1/sqrt(q)),
-        # so the straggler horizon — and with it the scatter traffic of idle
-        # slots — shrinks.  16 slots ≈ 80% utilization at R=1000 (measured
-        # 1.8x faster than 128 slots on the Eat benchmark).
+        # With work stealing more slots only add parallelism (no straggler
+        # tax); 16 balances scatter-cohort size against count-row memory.
         slots = int(min(16, max(total, 1)))
     slots = max(1, min(slots, max(total, 1)))
-    quota = _quota(total, slots)
     if max_steps is None:
         max_steps = _horizon(total, slots, damping)
     if source_chunk is None:
-        # bound the [C, n+1] count buffer at ~24M elements (~96MB): measured
-        # optimum for the visit scatter-add — larger buffers slow the random
-        # writes, smaller ones under-fill the cohort — and cap the per-step
-        # scatter cohort [C, slots] at ~512k updates.
-        source_chunk = int(
-            max(8, min(4096, (24 << 20) // max(n, 1), (1 << 19) // slots))
-        )
+        # bound the [C, n+1] count buffer at ~96M elements (~380MB): with
+        # work-stealing slots the bigger cohort wins (Eat: 3.78s -> 3.42s at
+        # C=4096 vs 1038), and 4096 caps the top-k/scatter row count.
+        source_chunk = int(max(8, min(4096, (96 << 20) // max(n, 1))))
     source_chunk = min(source_chunk, max(n, 1))
-    return source_chunk, slots, quota, max_steps
+    return source_chunk, slots, total, max_steps
 
 
 def _trace_plan(
@@ -367,20 +378,19 @@ def _trace_plan(
     slots: int | None,
     unroll: int,
 ):
-    """Host-side cohort sizing for the trace engine: (chunk, slots, quota,
+    """Host-side cohort sizing for the trace engine: (chunk, slots, total,
     macro_steps, trace width).  The trace buffer is capped at ~32M int32
     (~128MB); the chunk adapts to the per-source trace width."""
     total = int(iterations * damping)
     if slots is None:
         slots = int(min(16, max(total, 1)))
     slots = max(1, min(slots, max(total, 1)))
-    quota = _quota(total, slots)
     max_steps = _horizon(total, slots, damping)
     macro_steps = -(-max_steps // max(unroll, 1))
     width = macro_steps * unroll * slots
     if source_chunk is None:
         source_chunk = int(max(8, min(8192, (32 << 20) // max(width, 1))))
-    return source_chunk, slots, quota, macro_steps, width
+    return source_chunk, slots, total, macro_steps, width
 
 
 def walk_trace_basket_chunks(
@@ -392,9 +402,17 @@ def walk_trace_basket_chunks(
     source_chunk: int | None = None,
     slots: int | None = None,
     unroll: int = 32,
+    mesh=None,
 ):
     """Yield ``(start_row, Baskets, visits)`` normalized top-L walk baskets
-    per source chunk using the O(N)-independent trace engine."""
+    per source chunk using the O(N)-independent trace engine.
+
+    With ``mesh`` the chunk's sources (and therefore the walker cohort, the
+    trace buffer, and the counting sort) are row-sharded across the mesh
+    while the CSR stays replicated — pure data parallelism over sources,
+    the natural scale-out for Monte-Carlo walks (each source's walks are
+    independent).  Results are bitwise-identical to the unsharded engine.
+    """
     from ..models.common import device_graph
 
     n = graph.num_nodes
@@ -403,35 +421,54 @@ def walk_trace_basket_chunks(
         [dg.indptr[:-1].astype(jnp.int32), dg.out_degree.astype(jnp.int32)],
         axis=-1,
     )
-    source_chunk, slots, quota, macro_steps, width = _trace_plan(
+    source_chunk, slots, total, macro_steps, width = _trace_plan(
         iterations, damping, source_chunk, slots, unroll
     )
     source_chunk = min(source_chunk, max(n, 1))
-    row_chunk = int(max(1, min(source_chunk, (1 << 22) // max(width + 1, 1))))
+    source_sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import replicated, row_sharding
+
+        d = mesh.devices.size
+        source_chunk = -(-source_chunk // d) * d  # divisible by mesh size
+        source_sharding = row_sharding(mesh)
+        rep = replicated(mesh)
+        start_deg = jax.device_put(start_deg, rep)
+        indices = jax.device_put(dg.indices, rep)
+        # reshape across the sharded row dim breaks GSPMD; one map chunk
+        row_chunk = source_chunk
+    else:
+        indices = dg.indices
+        row_chunk = int(
+            max(1, min(source_chunk, (1 << 22) // max(width + 1, 1)))
+        )
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
     root = jax.random.PRNGKey(seed)
     damping_d = jnp.float32(damping)
     r_total = jnp.float32(iterations)
-    quota_d = jnp.asarray(quota)
+    total_d = jnp.int32(total)
     for s in range(0, n, source_chunk):
         chunk_sources = np.arange(s, min(s + source_chunk, n), dtype=np.int32)
         pad = source_chunk - chunk_sources.size
         padded = np.pad(chunk_sources, (0, pad), constant_values=0)
+        padded_d = jnp.asarray(padded)
+        if source_sharding is not None:
+            padded_d = jax.device_put(padded_d, source_sharding)
         trace = walk_trace_chunk(
             start_deg,
-            dg.indices,
-            jnp.asarray(padded),
+            indices,
+            padded_d,
             jax.random.fold_in(root, s),
             damping_d,
-            quota_d,
+            total_d,
             slots,
             macro_steps,
             unroll,
         )
         # pad rows re-walk source 0; exclude them from the visit count
         visits = jnp.sum(trace[: chunk_sources.size] >= 0)
-        ids, scores = _trace_topl(trace, jnp.asarray(padded), r_total, L, row_chunk)
+        ids, scores = _trace_topl(trace, padded_d, r_total, L, row_chunk)
         yield s, Baskets(
             ids[: chunk_sources.size], scores[: chunk_sources.size]
         ), visits
@@ -458,7 +495,7 @@ def walk_count_chunks(
         [dg.indptr[:-1].astype(jnp.int32), dg.out_degree.astype(jnp.int32)],
         axis=-1,
     )
-    source_chunk, slots, quota, max_steps = _walk_plan(
+    source_chunk, slots, total, max_steps = _walk_plan(
         n, iterations, damping, source_chunk, max_steps, slots
     )
     macro_steps = -(-max_steps // max(unroll, 1))
@@ -467,7 +504,7 @@ def walk_count_chunks(
     root = jax.random.PRNGKey(seed)
     damping_d = jnp.float32(damping)
     r_total = jnp.float32(iterations)
-    quota_d = jnp.asarray(quota)
+    total_d = jnp.int32(total)
     for s in range(0, n, source_chunk):
         chunk_sources = np.arange(s, min(s + source_chunk, n), dtype=np.int32)
         # pad to the chunk size so every chunk compiles once
@@ -480,7 +517,7 @@ def walk_count_chunks(
             jax.random.fold_in(root, s),
             damping_d,
             r_total,
-            quota_d,
+            total_d,
             n,
             slots,
             macro_steps,
@@ -500,6 +537,7 @@ def walk_baskets(
     slots: int | None = None,
     return_info: bool = False,
     engine: str = "auto",
+    mesh=None,
 ) -> Baskets:
     """Top-L walk baskets ``[N, L]`` for every node of the graph.
 
@@ -516,6 +554,8 @@ def walk_baskets(
     (seed, slots, unroll).
     """
     n = graph.num_nodes
+    if mesh is not None:
+        engine = "trace"  # source-sharded walks use the trace engine
     if engine == "auto":
         engine = "counts" if n <= DENSE_COUNT_MAX_NODES else "trace"
     if engine not in ("counts", "trace"):
@@ -525,7 +565,7 @@ def walk_baskets(
     if engine == "trace":
         for s, top, v in walk_trace_basket_chunks(
             graph, L, iterations, damping, seed=seed,
-            source_chunk=source_chunk, slots=slots,
+            source_chunk=source_chunk, slots=slots, mesh=mesh,
         ):
             if return_info:
                 visits += float(v)

@@ -77,7 +77,7 @@ def _shard_size(n: int, d: int) -> int:
 
 def build_ring_plan(
     graph: Graph,
-    partition_id: int,
+    partition_id: int | None,
     n_shards: int,
     L: int,
     elem_budget: int = DEFAULT_RING_ELEM_BUDGET,
@@ -92,7 +92,10 @@ def build_ring_plan(
     n = graph.num_nodes
     s = _shard_size(n, n_shards)
     n_pad = s * n_shards
-    nodes = np.nonzero(graph.partition == partition_id)[0]
+    if partition_id is None:  # all nodes (the MC combine sweeps every node)
+        nodes = np.arange(n, dtype=np.int64)
+    else:
+        nodes = np.nonzero(graph.partition == partition_id)[0]
     deg = graph.out_degree[nodes].astype(np.int64)
     dangling = nodes[deg == 0].astype(np.int32)
     nodes = nodes[deg > 0]
@@ -189,28 +192,40 @@ def _merge_and_scatter(
     L: int,
     algo: str,
     compute_diff: bool,
+    mode: str = "grank",
 ) -> Tuple[Baskets, jax.Array]:
-    """GRank merge for one bucket: scale candidates by damping/outdeg, add
-    the self entry 1-damping (include/grank.h:100-116), duplicate-combine,
-    top-L, L1-diff vs the old local rows, write the local out rows."""
+    """Merge for one bucket, then write the local out rows.
+
+    ``mode="grank"``: candidates scaled by damping/outdeg, self entry
+    1-damping (include/grank.h:100-116); L1-diff vs the old local rows.
+    ``mode="mc_combine"``: candidates unscaled, self entry ``1/factor``,
+    merged result scaled by ``factor = damping/outdeg`` after truncation
+    (include/mccompletepathv2.h:213-249).
+    """
     c, cap = succ.shape
     deg = jnp.sum(succ >= 0, axis=-1).astype(jnp.float32)
     factor = damping / jnp.maximum(deg, 1.0)
+    post_scale = None
     if cand is None:  # init sweep: successors contribute singletons {s: 1}
         cand_ids = jnp.where(succ >= 0, succ, SENTINEL)
         cand_scores = jnp.where(succ >= 0, factor[:, None], 0.0)
     else:
         cand_ids = cand.ids.reshape(c, cap * L)
-        cand_scores = cand.scores.reshape(c, cap * L) * factor[:, None]
+        cand_scores = cand.scores.reshape(c, cap * L)
+        if mode == "grank":
+            cand_scores = cand_scores * factor[:, None]
+    if mode == "grank":
+        self_scores = jnp.broadcast_to(1.0 - damping, (c,)).astype(jnp.float32)
+    elif mode == "mc_combine":
+        self_scores = (1.0 / factor).astype(jnp.float32)
+        post_scale = factor
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
     ids = jnp.concatenate([cand_ids, rows[:, None].astype(jnp.int32)], axis=-1)
-    scores = jnp.concatenate(
-        [
-            cand_scores,
-            jnp.broadcast_to(1.0 - damping, (c,)).astype(jnp.float32)[:, None],
-        ],
-        axis=-1,
-    )
+    scores = jnp.concatenate([cand_scores, self_scores[:, None]], axis=-1)
     merged = _merge_rows(ids, scores, L, algo)
+    if post_scale is not None:
+        merged = Baskets(merged.ids, merged.scores * post_scale[:, None])
     local = rows - my * s
     in_range = (local >= 0) & (local < s)
     safe_local = jnp.where(in_range, local, 0)
@@ -235,6 +250,7 @@ def _sweep_local(
     L: int,
     algo: str,
     compute_diff: bool,
+    mode: str = "grank",
 ) -> Tuple[Baskets, jax.Array]:
     """One ring half-sweep over this device's rows of the active partition."""
     out = basket  # carry-over: rows not in this partition keep old values
@@ -265,7 +281,7 @@ def _sweep_local(
         for (rows, succ), cand in zip(rnd, cands):
             out, diff = _merge_and_scatter(
                 rows, succ, cand, basket, out, damping, my, s, L, algo,
-                compute_diff,
+                compute_diff, mode=mode,
             )
             max_diff = jnp.maximum(max_diff, diff)
     return out, jax.lax.pmax(max_diff, NODE_AXIS)
@@ -351,6 +367,98 @@ def _build_program(
     prog = jax.jit(shard_fn)
     _PROGRAM_CACHE[key] = prog
     return prog
+
+
+def _build_mc_program(mesh, n_shards, s, L, K, sig, algo, passes):
+    key = ("mc", id(mesh), n_shards, s, L, K, sig, algo, passes)
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is not None:
+        return prog
+
+    def per_device(ids, scores, plan, damping):
+        my = jax.lax.axis_index(NODE_AXIS)
+        basket = Baskets(ids, scores)
+        for _ in range(passes):
+            basket, _ = _sweep_local(
+                basket, plan, damping, my, n_shards, s, L, algo, False,
+                mode="mc_combine",
+            )
+        final = keep_top(basket.ids, basket.scores, K)
+        return final.ids, final.scores
+
+    def plan_spec(sig):
+        return tuple(
+            tuple((P(NODE_AXIS), P(NODE_AXIS)) for _b in rnd) for rnd in sig
+        )
+
+    shard_fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(NODE_AXIS), P(NODE_AXIS), plan_spec(sig), P()),
+        out_specs=(P(NODE_AXIS), P(NODE_AXIS)),
+        check_vma=False,
+    )
+    prog = jax.jit(shard_fn)
+    _PROGRAM_CACHE[key] = prog
+    return prog
+
+
+def ring_mc_combine(
+    graph: Graph,
+    walk: Baskets,  # [N, L] walk baskets (ids -1-padded)
+    K: int,
+    L: int,
+    damping: float,
+    combine_passes: int,
+    mesh=None,
+    n_shards: int | None = None,
+    elem_budget: int = DEFAULT_RING_ELEM_BUDGET,
+    merge_algo: str | None = None,
+) -> Baskets:
+    """MCCompletePathV2's combine step sharded over the ring: every node
+    merges its successors' baskets with the ``{v: 1/factor} ... *factor``
+    scaling (include/mccompletepathv2.h:211-250), repeated
+    ``combine_passes`` times.  Dangling nodes keep their walk basket
+    ({v: 1.0}, mccompletepathv2.h:213-214) — they are simply not in the
+    sweep plan.  The exact-merge property of the ring (module docstring)
+    makes this bit-for-bit the serial combine, so the 1-shard == D-shard
+    oracle holds."""
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    n_shards = mesh.devices.size
+    n = graph.num_nodes
+    algo = resolve_merge_algo(merge_algo)
+    s = _shard_size(n, n_shards)
+    n_pad = s * n_shards
+
+    plan = build_ring_plan(graph, None, n_shards, L, elem_budget)
+    ids0 = np.full((n_pad, L), SENTINEL, dtype=np.int32)
+    scores0 = np.zeros((n_pad, L), dtype=np.float32)
+    ids0[:n] = np.asarray(walk.ids)
+    scores0[:n] = np.asarray(walk.scores)
+
+    row_sh = NamedSharding(mesh, P(NODE_AXIS))
+    rep = NamedSharding(mesh, P())
+    plan_d = tuple(
+        tuple(
+            (
+                jax.device_put(jnp.asarray(b.rows), row_sh),
+                jax.device_put(jnp.asarray(b.succ), row_sh),
+            )
+            for b in rnd
+        )
+        for rnd in plan.rounds
+    )
+    prog = _build_mc_program(
+        mesh, n_shards, s, L, K, _plan_signature(plan), algo, combine_passes
+    )
+    out_ids, out_scores = prog(
+        jax.device_put(ids0, row_sh),
+        jax.device_put(scores0, row_sh),
+        plan_d,
+        jax.device_put(jnp.float32(damping), rep),
+    )
+    return Baskets(out_ids[:n], out_scores[:n])
 
 
 def ring_grank_baskets(

@@ -72,6 +72,63 @@ def test_sharded_result_is_row_sharded():
     assert (np.asarray(baskets.ids) >= 0).sum() == 16 * 4
 
 
+def test_mc_multi_same_as_serial(rng):
+    """Sharded MC == serial MC with the same seed: the walks are bitwise
+    identical (source-sharded data parallelism of the same program) and the
+    ring combine is exact.  The reference has no parallel MC (grankMulti is
+    GRank-only); this is a capability extension tested against our own
+    serial implementation."""
+    from approximated_personalized_pagerank_tpu import (
+        mccompletepathv2_baskets,
+        mccompletepathv2_multi_baskets,
+    )
+
+    n = 24
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 5) % n] for i in range(n)})
+    # serial path must use the same chunking the mesh path rounds to
+    serial = mccompletepathv2_baskets(
+        g, 5, 10, 300, 0.85, seed=7, engine="sparse"
+    )
+    import approximated_personalized_pagerank_tpu.ops.walk as walk_mod
+
+    old = walk_mod.DENSE_COUNT_MAX_NODES
+    walk_mod.DENSE_COUNT_MAX_NODES = 0  # serial walks via trace engine too
+    try:
+        serial_trace = mccompletepathv2_baskets(
+            g, 5, 10, 300, 0.85, seed=7, engine="sparse"
+        )
+    finally:
+        walk_mod.DENSE_COUNT_MAX_NODES = old
+    sharded = mccompletepathv2_multi_baskets(g, 5, 10, 300, 0.85, 4, seed=7)
+
+    def rows(b):
+        ids, sc = np.asarray(b.ids), np.asarray(b.scores)
+        return [
+            sorted((int(i), round(float(s), 5)) for i, s in zip(r, q) if i >= 0)
+            for r, q in zip(ids, sc)
+        ]
+
+    assert rows(sharded) == rows(serial_trace)
+    # and the counts-engine serial result agrees too (same PRNG stream)
+    assert rows(sharded) == rows(serial)
+
+
+def test_oracle_sharded_same_as_serial(rng):
+    from approximated_personalized_pagerank_tpu import ppr_single_source_batch
+    from approximated_personalized_pagerank_tpu.parallel.mesh import make_mesh
+
+    n = 30
+    g = Graph.from_edges(
+        rng.integers(0, n, size=150), rng.integers(0, n, size=150), num_nodes=n
+    )
+    sources = [0, 3, 7, 11, 19]  # 5 sources over 4 devices: exercises padding
+    a = np.asarray(ppr_single_source_batch(g, sources, 50, 0.85, 1e-6))
+    b = np.asarray(
+        ppr_single_source_batch(g, sources, 50, 0.85, 1e-6, mesh=make_mesh(4))
+    )
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_ring_per_device_memory_is_sharded(rng):
     """The round-1 failure mode was GSPMD all-gathering the [N, L] basket
     per sweep (per-device peak ~ full-graph memory).  The ring program must

@@ -7,17 +7,25 @@ import pytest
 from approximated_personalized_pagerank_tpu import Graph
 from approximated_personalized_pagerank_tpu.ops.walk import (
     _horizon,
-    _quota,
     walk_baskets,
     walk_count_chunks,
 )
 
 
-def test_quota_partition():
-    q = _quota(850, 128)
-    assert q.sum() == 850
-    assert q.max() - q.min() <= 1
-    assert _quota(3, 8).sum() == 3
+def test_work_stealing_walk_count_exact():
+    """The shared per-source walk pool must run EXACTLY floor(R*damping)
+    walks: on a self-loop graph every hop of every walk visits the source,
+    so the normalized self-count is 1 + floor(R*d)/R * E[len] and walk
+    starts can be audited from the total visit mass."""
+    n, r, damping = 8, 400, 0.5
+    g = Graph.from_dict({i: [i] for i in range(n)})  # self-loops: deg 1
+    total = np.zeros(n)
+    for s, c in walk_count_chunks(g, r, damping, seed=3):
+        arr = np.asarray(c)
+        total[s : s + arr.shape[0]] += arr.sum(axis=1)
+    # E[len] = 1/(1-d) = 2; mass = 1 + 200/400 * 2 = 2.0 per source
+    expect = 1.0 + int(r * damping) / r / (1.0 - damping)
+    assert abs(total.mean() - expect) < 0.15, (total.mean(), expect)
 
 
 def test_horizon_bounds():
