@@ -122,6 +122,19 @@ def main(argv=None) -> int:
             cfg.tolerance,
             cfg.n_shards,
         )
+    elif cfg.n_shards > 1:
+        from . import mccompletepathv2_multi_baskets
+
+        baskets = mccompletepathv2_multi_baskets(
+            graph,
+            cfg.K,
+            cfg.L,
+            cfg.iterations,
+            cfg.damping,
+            cfg.n_shards,
+            seed=cfg.seed,
+            combine_passes=cfg.combine_passes,
+        )
     else:
         baskets = mccompletepathv2_baskets(
             graph,

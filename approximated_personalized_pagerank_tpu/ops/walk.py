@@ -264,13 +264,14 @@ def walk_trace_chunk(
     return trace
 
 
-@functools.partial(jax.jit, static_argnames=("L", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("L", "row_chunk", "algo"))
 def _trace_topl(
     trace: jax.Array,  # int32[C, W]
     sources: jax.Array,  # int32[C]
     r_total: jax.Array,
     L: int,
     row_chunk: int,
+    algo: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized top-L count baskets from a visit trace.
 
@@ -280,8 +281,9 @@ def _trace_topl(
     (mccompletepathv2.h:158-160).  Rows are processed in ``row_chunk``
     batches under lax.map to bound sort temporaries.
     """
-    from .merge import _merge_rows
+    from .merge import _merge_rows, resolve_merge_algo
 
+    algo = resolve_merge_algo(algo)  # fused Pallas kernel on TPU
     c, w = trace.shape
     ids = jnp.concatenate([trace, sources[:, None].astype(jnp.int32)], axis=1)
     scores = jnp.concatenate(
@@ -301,7 +303,7 @@ def _trace_topl(
 
     def one(args):
         i, s = args
-        out = _merge_rows(i, s, L, "sort")
+        out = _merge_rows(i, s, L, algo)
         return out.ids, out.scores
 
     if n_chunks == 1:
