@@ -44,7 +44,7 @@ class RunConfig:
         check_basket_params(self.K, self.L)
         check_iterations(self.iterations)
         check_damping(self.damping)
-        if self.algorithm == "grank_multi":
+        if self.algorithm == "grank_multi" or self.n_shards != 1:
             check_shards(self.n_shards)
         if self.engine not in ("auto", "dense", "sparse"):
             raise ValueError(f"unknown engine {self.engine!r}")

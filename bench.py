@@ -194,8 +194,13 @@ def bench_scale():
         ),
     }
     # Walk engine: R walks/node over all 1M sources, measured visits.
-    from approximated_personalized_pagerank_tpu.ops.walk import walk_baskets
+    from approximated_personalized_pagerank_tpu.ops.walk import (
+        walk_baskets,
+        walk_trace_basket_chunks,
+    )
 
+    # warm-up: one source chunk compiles the whole walk+count program
+    next(iter(walk_trace_basket_chunks(graph, L, SCALE_WALKS, DAMPING, seed=0)))
     t0 = time.time()
     wb, winfo = walk_baskets(
         graph, L, SCALE_WALKS, DAMPING, seed=0, return_info=True
