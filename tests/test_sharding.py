@@ -72,6 +72,31 @@ def test_sharded_result_is_row_sharded():
     assert (np.asarray(baskets.ids) >= 0).sum() == 16 * 4
 
 
+def test_ring_multi_round_budget_equivalent(rng):
+    """A tiny candidate elem_budget forces the ring into several rounds
+    (one rotation each); results must be identical to the single-round
+    plan (parallel/ring.py build_ring_plan round grouping)."""
+    from approximated_personalized_pagerank_tpu.parallel.ring import (
+        build_ring_plan,
+        ring_grank_baskets,
+    )
+
+    n = 48
+    g = Graph.from_edges(
+        rng.integers(0, n, size=400), rng.integers(0, n, size=400), num_nodes=n
+    )
+    big = ring_grank_baskets(g, 5, 10, 20, 0.85, 1e-4, n_shards=4)
+    small = ring_grank_baskets(
+        g, 5, 10, 20, 0.85, 1e-4, n_shards=4, elem_budget=64
+    )
+    plan = build_ring_plan(g, 0, 4, 10, elem_budget=64)
+    assert len(plan.rounds) > 1, "budget did not split the plan into rounds"
+    np.testing.assert_array_equal(np.asarray(big.ids), np.asarray(small.ids))
+    np.testing.assert_allclose(
+        np.asarray(big.scores), np.asarray(small.scores), atol=1e-6
+    )
+
+
 def test_mc_multi_same_as_serial(rng):
     """Sharded MC == serial MC with the same seed: the walks are bitwise
     identical (source-sharded data parallelism of the same program) and the
