@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import Graph
-from ..ops.basket import Baskets, empty_baskets, keep_top
+from ..ops.basket import Baskets, empty_baskets, keep_top_chunked
 from ..ops.merge import DEFAULT_ELEM_BUDGET, DeviceBucket, device_plan, merge_sweep
 from ..utils.validation import check_basket_params, check_damping, check_iterations
 from .common import baskets_to_dict
@@ -270,7 +270,7 @@ def grank_baskets(
             elem_budget,
             algo=merge_algo,
         )
-        out = keep_top(basket.ids, basket.scores, K)
+        out = keep_top_chunked(basket.ids, basket.scores, K)
         if return_info:
             return out, {"iterations_ran": int(h)}
         return out
@@ -297,7 +297,7 @@ def grank_baskets(
         max_diff[0], max_diff[1] = max_diff[1], max_diff[0]
         i += 1
 
-    out = keep_top(basket.ids, basket.scores, K)
+    out = keep_top_chunked(basket.ids, basket.scores, K)
     if return_info:
         return out, {"iterations_ran": i}
     return out

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph import Graph
-from ..ops.basket import Baskets, empty_baskets, keep_top
+from ..ops.basket import Baskets, empty_baskets, keep_top_chunked
 from ..ops.merge import DEFAULT_ELEM_BUDGET, device_plan, merge_sweep
 from ..ops.walk import walk_baskets
 from ..utils.validation import check_basket_params, check_damping, check_iterations
@@ -150,7 +150,7 @@ def mccompletepathv2_baskets(
         )
     # dangling nodes keep their walk basket {v: 1.0}
     # (mccompletepathv2.h:213-214: factor = 1.0, no successor contributions).
-    out = keep_top(basket.ids, basket.scores, K)
+    out = keep_top_chunked(basket.ids, basket.scores, K)
     if return_info:
         return out, info
     return out

@@ -139,6 +139,30 @@ def keep_top(ids: jax.Array, scores: jax.Array, k: int) -> Baskets:
     return Baskets(out_ids.astype(jnp.int32), out_scores.astype(jnp.float32))
 
 
+def keep_top_chunked(
+    ids: jax.Array,
+    scores: jax.Array,
+    k: int,
+    elem_budget: int = 1 << 27,
+) -> Baskets:
+    """:func:`keep_top` over row chunks: bounds the top-k temporaries for
+    graph-scale basket sets (at N=4.8M, L=100 a single top_k's gather/key
+    temporaries exceed one v5e's HBM alongside the basket itself)."""
+    rows, w = ids.shape
+    chunk = int(max(1, min(rows, elem_budget // max(w, 1))))
+    if chunk >= rows:
+        return keep_top(ids, scores, k)
+    parts_i, parts_s = [], []
+    for s in range(0, rows, chunk):
+        e = min(s + chunk, rows)
+        out = keep_top(ids[s:e], scores[s:e], k)
+        parts_i.append(out.ids)
+        parts_s.append(out.scores)
+    return Baskets(
+        jnp.concatenate(parts_i, axis=0), jnp.concatenate(parts_s, axis=0)
+    )
+
+
 @jax.jit
 def norm1_rows(a: Baskets, b: Baskets) -> jax.Array:
     """Row-wise L1 distance treating each row as a sparse vector.
