@@ -76,6 +76,53 @@ def _bucket_cap(x: np.ndarray) -> np.ndarray:
     return ((x + quarter - 1) // quarter) * quarter
 
 
+def _width_aligned_cap_table(
+    L: int, min_width: int = 256, max_width: int = 8192
+) -> np.ndarray:
+    """Bucket caps aligned to the merge network's power-of-two widths.
+
+    The basket-merge pipeline pads each candidate row of width ``cap*L+1``
+    up to a power of two before the sort network (ops/merge.py); with
+    quarter-octave caps that pad can nearly double the sorted width (e.g.
+    cap 48, L=100: 4801 -> 8192).  When ``L`` is known, caps are instead
+    chosen so ``cap*L+1`` lands just under each power of two — zero pow2
+    waste and one bucket per octave (fewer sequential kernels per sweep).
+    The extra ELL gather slots (a degree-41 node padded to cap 81) cost
+    only cheap gather bandwidth, not sort work: the padded slots sort as
+    dead entries the pow2 pad would have contained anyway.
+
+    Returns the ascending cap table covering degrees up to
+    ``(max_width-1)//L``; larger degrees (the sort-pipeline fallback, where
+    pow2 alignment is irrelevant) keep quarter-octave rounding.
+    """
+    caps: List[int] = []
+    c = 1
+    while c * L + 1 < min_width:  # below the network threshold: sort path
+        caps.append(c)
+        c = int(_bucket_cap(np.asarray([c + 1]))[0])
+    wpow = min_width
+    while wpow <= max_width:
+        cap = (wpow - 1) // L
+        if cap >= 1 and (not caps or cap > caps[-1]):
+            caps.append(cap)
+        wpow *= 2
+    return np.asarray(caps, dtype=np.int64)
+
+
+def _assign_caps(deg: np.ndarray, L: int | None) -> np.ndarray:
+    """Per-node bucket capacity: width-aligned when the merge width L is
+    known (see _width_aligned_cap_table), quarter-octave otherwise."""
+    base = _bucket_cap(deg)
+    if L is None:
+        return base
+    table = _width_aligned_cap_table(L)
+    if not table.size:
+        return base
+    idx = np.searchsorted(table, deg)
+    snapped = table[np.minimum(idx, table.size - 1)]
+    return np.where(deg <= table[-1], snapped, base)
+
+
 class Graph:
     """Directed graph in CSR form with external-key vocabulary.
 
@@ -287,13 +334,17 @@ class Graph:
         return color
 
     # ------------------------------------------------------------- merge plan
-    def merge_plan(self, partition_id: int | None = None) -> MergePlan:
+    def merge_plan(
+        self, partition_id: int | None = None, L: int | None = None
+    ) -> MergePlan:
         """Degree-bucketed ELL plan for the given partition (or whole graph).
 
         ``partition_id`` of None means "all nodes" (used by the MC combine
-        pass, which sweeps every node once).  Cached per argument.
+        pass, which sweeps every node once).  ``L`` (the merge basket
+        width) enables sort-width-aligned bucket caps for the network merge
+        pipelines (see _width_aligned_cap_table).  Cached per argument.
         """
-        cache_key = partition_id
+        cache_key = (partition_id, L)
         if cache_key in self._plans:
             return self._plans[cache_key]
         if partition_id is None:
@@ -306,7 +357,7 @@ class Graph:
         deg = self.out_degree[nodes].astype(np.int64)
         buckets: List[EllBucket] = []
         if nodes.size:
-            caps = _bucket_cap(deg)
+            caps = _assign_caps(deg, L)
             for cap in np.unique(caps):
                 sel = nodes[caps == cap]
                 cap = int(cap)

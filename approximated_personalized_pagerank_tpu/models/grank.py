@@ -240,7 +240,13 @@ def grank_baskets(
             graph, K, L, iterations, damping, tolerance, mesh=mesh,
             merge_algo=merge_algo, return_info=return_info,
         )
-    plans = [graph.merge_plan(0), graph.merge_plan(1)]
+    # Width-aligned bucket caps when the merge runs through a sorting
+    # network (pallas/bitonic): cap*L+1 lands at a power of two, so the
+    # network sorts no pow2 padding (see graph._width_aligned_cap_table).
+    from ..ops.merge import resolve_merge_algo
+
+    plan_L = L if resolve_merge_algo(merge_algo) in ("pallas", "bitonic") else None
+    plans = [graph.merge_plan(0, L=plan_L), graph.merge_plan(1, L=plan_L)]
     dev_buckets = [device_plan(p, n) for p in plans]
     all_buckets = dev_buckets[0] + dev_buckets[1]
     damping_d = jnp.float32(damping)

@@ -141,7 +141,10 @@ def mccompletepathv2_baskets(
     info = None
     if return_info:
         basket, info = basket
-    plan = graph.merge_plan(None)
+    from ..ops.merge import resolve_merge_algo
+
+    plan_L = L if resolve_merge_algo(merge_algo) in ("pallas", "bitonic") else None
+    plan = graph.merge_plan(None, L=plan_L)
     buckets = device_plan(plan, n)
     damping_d = jnp.float32(damping)
     for _ in range(combine_passes):

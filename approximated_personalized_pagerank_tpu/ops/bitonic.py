@@ -178,3 +178,92 @@ def bitonic_merge_topk(
         jnp.where(live, out_ids, SENTINEL).astype(jnp.int32),
         jnp.where(live, out_scores, 0.0).astype(jnp.float32),
     )
+
+
+def _score_stage(
+    ids: jax.Array, scores: jax.Array, j: int, asc_mask: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One compare-exchange stage at distance j keyed on SCORE (ids carried).
+
+    ``asc_mask[i]`` True where position i belongs to an ascending-sorted
+    region.  Same Mosaic-safe boolean algebra as :func:`_stage`.
+    """
+    p_ids = _xor_shuffle(ids, j)
+    p_scores = _xor_shuffle(scores, j)
+    i_is_low = (
+        jnp.bitwise_and(
+            jax.lax.broadcasted_iota(jnp.int32, (1, ids.shape[-1]), 1), j
+        )
+        == 0
+    )
+    take_min = asc_mask == i_is_low
+    take_max = asc_mask != i_is_low
+    swap = (take_min & (scores > p_scores)) | (take_max & (scores < p_scores))
+    return jnp.where(swap, p_ids, ids), jnp.where(swap, p_scores, scores)
+
+
+def bitonic_prune_topk(
+    ids: jax.Array, scores: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k by score via block sort + prune rounds — the cheap form
+    of :func:`bitonic_merge_topk` (same contract: ids PAD_ID = dead, output
+    ``[..., k]`` sorted descending, dead slots (SENTINEL, 0)).
+
+    Instead of fully sorting all W elements (O(W log^2 W) compare-exchange
+    work), run the bitonic network only until k-blocks are sorted in
+    alternating directions (O(W log^2 k)), then repeat log2(W/k) times on a
+    halving width: one *half-cleaner* stage at distance k moves each
+    2k-pair's k largest into one half (Batcher's bitonic lemma — adjacent
+    asc/desc blocks form a bitonic sequence), drop the other half, and
+    re-sort the survivor block with a log2(k)-stage bitonic merge.  Total
+    O(W log k) element-stages after the block sort; exactness is pinned
+    against bitonic_merge_topk in tests/test_bitonic.py.
+    """
+    w = ids.shape[-1]
+    assert w & (w - 1) == 0, f"width must be a power of two, got {w}"
+    assert k & (k - 1) == 0 and k <= w
+    masked = jnp.where(ids == PAD_ID, -jnp.inf, scores)
+    if k == w:
+        out_ids, out_scores = bitonic_sort_desc_by_score(ids, masked)
+    else:
+        # Phase 1: standard ascending bitonic network truncated at outer
+        # stage k: block b (k-aligned) ends up ascending iff b is even.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        kk = 2
+        while kk <= k:
+            asc_mask = jnp.bitwise_and(idx, kk) == 0
+            j = kk // 2
+            while j >= 1:
+                ids, masked = _score_stage(ids, masked, j, asc_mask)
+                j //= 2
+            kk *= 2
+        # Phase 2: prune rounds.  Each (asc, desc) block pair is bitonic, so
+        # the elementwise score-max of its halves is exactly the pair's top-k
+        # multiset, itself bitonic; sort survivors alternately (asc/desc by
+        # new block parity) for the next round — descending on the last.
+        w_cur = w
+        while w_cur > k:
+            lead = ids.shape[:-1]
+            gi = ids.reshape(*lead, w_cur // (2 * k), 2, k)
+            gs = masked.reshape(*lead, w_cur // (2 * k), 2, k)
+            hi0, hi1 = gi[..., 0, :], gi[..., 1, :]
+            hs0, hs1 = gs[..., 0, :], gs[..., 1, :]
+            take1 = hs1 > hs0
+            ids = jnp.where(take1, hi1, hi0).reshape(*lead, w_cur // 2)
+            masked = jnp.where(take1, hs1, hs0).reshape(*lead, w_cur // 2)
+            w_cur //= 2
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, w_cur), 1)
+            if w_cur == k:
+                asc_mask = jnp.zeros((1, w_cur), dtype=bool)  # final: desc
+            else:
+                asc_mask = jnp.bitwise_and(idx, k) == 0
+            j = k // 2
+            while j >= 1:
+                ids, masked = _score_stage(ids, masked, j, asc_mask)
+                j //= 2
+        out_ids, out_scores = ids, masked
+    live = out_scores > -jnp.inf
+    return (
+        jnp.where(live, out_ids, SENTINEL).astype(jnp.int32),
+        jnp.where(live, out_scores, 0.0).astype(jnp.float32),
+    )

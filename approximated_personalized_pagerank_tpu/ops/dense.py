@@ -486,9 +486,11 @@ def dense_mc_run(
     n_pad = max(_LANE, -(-n // _LANE) * _LANE)
     counts = jnp.zeros((n_pad, n_pad), jnp.float32)
     visits = 0.0
-    for s, chunk in walk_count_chunks(graph, iterations, damping, seed=seed):
+    abandoned = 0
+    for s, chunk, a in walk_count_chunks(graph, iterations, damping, seed=seed):
         if return_info:
             visits += float(jnp.sum(chunk) - chunk.shape[0]) * iterations
+            abandoned += int(a)
         counts = _write_trunc_chunk(
             counts, chunk, s, n_pad, min(L, n), recall, exact_trunc
         )
@@ -515,5 +517,10 @@ def dense_mc_run(
         mm_dtype=mm_dtype,
     )
     if return_info:
-        return out, {"walk_steps": int(round(visits))}
+        total = int(iterations * damping) * int((deg > 0).sum())
+        return out, {
+            "walk_steps": int(round(visits)),
+            "abandoned_walks": abandoned,
+            "total_walks": total,
+        }
     return out

@@ -62,10 +62,12 @@ def resolve_merge_algo(algo: str | None) -> str:
 # Below this candidate width the generic sort path is used regardless (the
 # pow2/lane padding of the network paths would dominate).
 MIN_NETWORK_WIDTH = 256
-# Above this width the fused Pallas kernel's O(log^2 W) network temporaries
-# exceed Mosaic's 16MB scoped-VMEM stack even at the minimum 8-row tile;
-# wide-degree buckets fall back to the XLA sort pipeline.
-MAX_PALLAS_WIDTH = 4096
+# Above this width the fused Pallas kernel stops paying: the O(log^2 W)
+# unrolled network makes Mosaic compile time explode (W=16384 exceeded 10
+# minutes on v5e; W=8192 compiles in ~70s and runs at >400 Melem/s) and the
+# scoped-VMEM stack (measured ~340B per tile element) approaches the 128MB
+# VMEM.  Wider buckets fall back to the XLA sort pipeline.
+MAX_PALLAS_WIDTH = 8192
 
 
 def _next_pow2(x: int) -> int:

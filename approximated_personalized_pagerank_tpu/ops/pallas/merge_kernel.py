@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..bitonic import (
     PAD_ID,
-    bitonic_merge_topk,
+    bitonic_prune_topk,
     bitonic_sort_pairs,
     segmented_sum_sorted,
 )
@@ -40,7 +40,8 @@ def _merge_kernel(ids_ref, scores_ref, out_ids_ref, out_scores_ref, *, l_pad):
     scores = scores_ref[:]
     ids, scores = bitonic_sort_pairs(ids, scores)
     ids, scores = segmented_sum_sorted(ids, scores)
-    out_ids, out_scores = bitonic_merge_topk(ids, scores, l_pad)
+    # prune-topk: O(W log L) instead of a second full O(W log^2 W) sort
+    out_ids, out_scores = bitonic_prune_topk(ids, scores, l_pad)
     out_ids_ref[:] = out_ids
     out_scores_ref[:] = out_scores
 
@@ -76,8 +77,9 @@ def fused_merge_topl(
 
     grid = (cp // tc,)
     # Wide rows need more scoped VMEM than Mosaic's conservative 16MB
-    # default for the network's live temporaries; v5e has headroom.
-    vmem_limit = min(100 << 20, max(16 << 20, 24 * tc * w))
+    # default for the network's live temporaries (measured: ~21MB at
+    # tc*w = 64k elements, i.e. ~340B per element); v5e has 128MB headroom.
+    vmem_limit = min(110 << 20, max(16 << 20, 352 * tc * w))
     out_ids, out_scores = pl.pallas_call(
         functools.partial(_merge_kernel, l_pad=l_pad),
         grid=grid,

@@ -142,8 +142,12 @@ def walk_counts_chunk(
     slots: int,
     max_steps: int,
     unroll: int = 32,
-) -> jax.Array:
-    """Normalized visit counts ``float32[C, num_nodes]`` for a source chunk.
+) -> Tuple[jax.Array, jax.Array]:
+    """Normalized visit counts ``float32[C, num_nodes]`` for a source chunk,
+    plus ``abandoned int32[C]`` — walks cut off by the step horizon (walks
+    still running at loop exit + never-started pool remainder).  The
+    reference's do-while never truncates (mccompletepathv2.h:142-155); this
+    counter makes the sub-percent truncation claim verifiable per run.
 
     ``unroll`` hops advance per loop body with their visits batched into ONE
     scatter-add: TPU scatters have a large fixed per-dispatch cost, so
@@ -156,6 +160,7 @@ def walk_counts_chunk(
     # every walk counts its source once, using the *original* walk count
     # (mccompletepathv2.h:124: res[node] = walks, before thinning).
     counts = counts.at[jnp.arange(c), sources].add(r_total.astype(jnp.float32))
+    abandoned = jnp.zeros((c,), dtype=jnp.int32)
 
     # With no edges every walk dies at its (dangling) source immediately;
     # skip the loop (a gather from a 0-length indices array cannot be traced).
@@ -192,12 +197,15 @@ def walk_counts_chunk(
             )
             return step + 1, cur, rem, alive, acc
 
-        _, _, _, _, counts = jax.lax.while_loop(
+        _, _, rem_f, alive_f, counts = jax.lax.while_loop(
             cond, body, (jnp.int32(0), cur0, rem0, alive0, counts)
         )
+        # walks abandoned at the horizon: still-running slots + unstarted
+        # pool (rem can only be nonzero if the step cap ended the loop).
+        abandoned = jnp.sum(alive_f, axis=1).astype(jnp.int32) + rem_f
 
     counts = counts[:, :n] / jnp.maximum(r_total.astype(jnp.float32), 1.0)
-    return counts
+    return counts, abandoned
 
 
 @functools.partial(
@@ -213,8 +221,10 @@ def walk_trace_chunk(
     slots: int,
     macro_steps: int,
     unroll: int,
-) -> jax.Array:
-    """Visit trace ``int32[C, macro_steps*unroll*slots]`` for a source chunk.
+) -> Tuple[jax.Array, jax.Array]:
+    """Visit trace ``int32[C, macro_steps*unroll*slots]`` for a source chunk,
+    plus ``abandoned int32[C]`` walks cut off by the step horizon (see
+    :func:`walk_counts_chunk`).
 
     The scale-path twin of :func:`walk_counts_chunk`: the stepping logic and
     PRNG stream are IDENTICAL (shared :func:`_cohort_hop` — the two engines
@@ -231,7 +241,7 @@ def walk_trace_chunk(
     width = macro_steps * unroll * slots
     trace = jnp.full((c, width), SENTINEL, dtype=jnp.int32)
     if slots == 0 or indices.shape[0] == 0:
-        return trace
+        return trace, jnp.zeros((c,), dtype=jnp.int32)
 
     src2, cur0, rem0, alive0 = _cohort_init(start_deg, sources, total, slots)
 
@@ -258,10 +268,11 @@ def walk_trace_chunk(
         )
         return step + 1, cur, rem, alive, trace
 
-    _, _, _, _, trace = jax.lax.while_loop(
+    _, _, rem_f, alive_f, trace = jax.lax.while_loop(
         cond, body, (jnp.int32(0), cur0, rem0, alive0, trace)
     )
-    return trace
+    abandoned = jnp.sum(alive_f, axis=1).astype(jnp.int32) + rem_f
+    return trace, abandoned
 
 
 @functools.partial(jax.jit, static_argnames=("L", "row_chunk", "algo"))
@@ -406,8 +417,9 @@ def walk_trace_basket_chunks(
     unroll: int = 32,
     mesh=None,
 ):
-    """Yield ``(start_row, Baskets, visits)`` normalized top-L walk baskets
-    per source chunk using the O(N)-independent trace engine.
+    """Yield ``(start_row, Baskets, visits, abandoned)`` normalized top-L
+    walk baskets per source chunk using the O(N)-independent trace engine.
+    ``abandoned`` counts walks cut off by the step horizon in this chunk.
 
     With ``mesh`` the chunk's sources (and therefore the walker cohort, the
     trace buffer, and the counting sort) are row-sharded across the mesh
@@ -457,7 +469,7 @@ def walk_trace_basket_chunks(
         padded_d = jnp.asarray(padded)
         if source_sharding is not None:
             padded_d = jax.device_put(padded_d, source_sharding)
-        trace = walk_trace_chunk(
+        trace, abandoned = walk_trace_chunk(
             start_deg,
             indices,
             padded_d,
@@ -468,12 +480,13 @@ def walk_trace_basket_chunks(
             macro_steps,
             unroll,
         )
-        # pad rows re-walk source 0; exclude them from the visit count
+        # pad rows re-walk source 0; exclude them from the counters
         visits = jnp.sum(trace[: chunk_sources.size] >= 0)
+        abandoned = jnp.sum(abandoned[: chunk_sources.size])
         ids, scores = _trace_topl(trace, padded_d, r_total, L, row_chunk)
         yield s, Baskets(
             ids[: chunk_sources.size], scores[: chunk_sources.size]
-        ), visits
+        ), visits, abandoned
 
 
 def walk_count_chunks(
@@ -486,9 +499,10 @@ def walk_count_chunks(
     slots: int | None = None,
     unroll: int = 32,
 ):
-    """Yield ``(start_row, counts[f32 C, N])`` normalized visit-count chunks
-    covering all sources (the last chunk may include padded rows; the caller
-    slices with the returned start and the graph size)."""
+    """Yield ``(start_row, counts[f32 C, N], abandoned)`` normalized
+    visit-count chunks covering all sources (the last chunk may include
+    padded rows; the caller slices with the returned start and the graph
+    size).  ``abandoned`` counts horizon-truncated walks in this chunk."""
     from ..models.common import device_graph
 
     n = graph.num_nodes
@@ -512,7 +526,7 @@ def walk_count_chunks(
         # pad to the chunk size so every chunk compiles once
         pad = source_chunk - chunk_sources.size
         padded = np.pad(chunk_sources, (0, pad), constant_values=0)
-        counts = walk_counts_chunk(
+        counts, abandoned = walk_counts_chunk(
             start_deg,
             dg.indices,
             jnp.asarray(padded),
@@ -525,7 +539,9 @@ def walk_count_chunks(
             macro_steps,
             unroll,
         )
-        yield s, counts[: chunk_sources.size]
+        yield s, counts[: chunk_sources.size], jnp.sum(
+            abandoned[: chunk_sources.size]
+        )
 
 
 def walk_baskets(
@@ -545,8 +561,12 @@ def walk_baskets(
 
     ``iterations`` is R, the worst-case walks per node, matching the meaning
     of the reference's parameter (include/mccompletepathv2.h:186).
-    ``return_info=True`` additionally returns ``{"walk_steps": v}`` — hops
-    that deposited a visit, measured from the actual visit counts.
+    ``return_info=True`` additionally returns ``{"walk_steps": v,
+    "abandoned_walks": a, "total_walks": t}`` — hops that deposited a visit
+    (measured from the actual visit counts), walks cut off by the step
+    horizon, and the total walks launched (``floor(R*damping)`` per
+    non-dangling source; the reference's do-while never truncates,
+    mccompletepathv2.h:142-155, so ``abandoned/total`` is the divergence).
 
     ``engine``: ``"counts"`` scatter-adds into dense ``[C, N]`` count rows
     (fastest at small N); ``"trace"`` records visit ids and counts them by
@@ -564,22 +584,25 @@ def walk_baskets(
         raise ValueError(f"unknown walk engine {engine!r}")
     ids_parts, score_parts = [], []
     visits = 0.0
+    abandoned = 0
     if engine == "trace":
-        for s, top, v in walk_trace_basket_chunks(
+        for s, top, v, a in walk_trace_basket_chunks(
             graph, L, iterations, damping, seed=seed,
             source_chunk=source_chunk, slots=slots, mesh=mesh,
         ):
             if return_info:
                 visits += float(v)
+                abandoned += int(a)
             ids_parts.append(top.ids)
             score_parts.append(top.scores)
     else:
-        for s, counts in walk_count_chunks(
+        for s, counts, a in walk_count_chunks(
             graph, iterations, damping, seed=seed, source_chunk=source_chunk,
             max_steps=max_steps, slots=slots,
         ):
             if return_info:
                 visits += float(jnp.sum(counts) - counts.shape[0]) * iterations
+                abandoned += int(a)
             ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), counts.shape)
             ids = jnp.where(counts > 0, ids, -1)
             top = keep_top(ids, counts, min(L, n) if n > 0 else L)
@@ -597,7 +620,8 @@ def walk_baskets(
         from .basket import empty_baskets
 
         out = empty_baskets(0, L)
-        return (out, {"walk_steps": 0}) if return_info else out
+        info = {"walk_steps": 0, "abandoned_walks": 0, "total_walks": 0}
+        return (out, info) if return_info else out
     baskets = Baskets(
         jnp.concatenate(ids_parts, axis=0),
         jnp.concatenate(score_parts, axis=0),
@@ -606,5 +630,10 @@ def walk_baskets(
     # count normalisation above already yields that, since their only count
     # is R at the source itself.
     if return_info:
-        return baskets, {"walk_steps": int(round(visits))}
+        total = int(iterations * damping) * int((graph.out_degree > 0).sum())
+        return baskets, {
+            "walk_steps": int(round(visits)),
+            "abandoned_walks": abandoned,
+            "total_walks": total,
+        }
     return baskets

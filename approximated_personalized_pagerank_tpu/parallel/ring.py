@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..graph import SENTINEL, Graph, _bucket_cap
+from ..graph import SENTINEL, Graph, _assign_caps
 from ..ops.basket import Baskets, keep_top, norm1_rows
 from ..ops.merge import _merge_rows, resolve_merge_algo
 from .mesh import NODE_AXIS, make_mesh
@@ -81,13 +81,15 @@ def build_ring_plan(
     n_shards: int,
     L: int,
     elem_budget: int = DEFAULT_RING_ELEM_BUDGET,
+    algo: str | None = None,
 ) -> RingPlan:
     """Degree-bucketed ELL plan with device-uniform bucket shapes.
 
     Like Graph.merge_plan (graph.py) but rows are grouped by owning device
     (owner = node // shard_size) and padded so every device sees the same
     [C, cap] bucket shape — the static-shape requirement of the single SPMD
-    program each device runs under shard_map.
+    program each device runs under shard_map.  ``algo`` (the resolved merge
+    pipeline) enables sort-width-aligned caps for the network merges.
     """
     n = graph.num_nodes
     s = _shard_size(n, n_shards)
@@ -102,7 +104,7 @@ def build_ring_plan(
     deg = graph.out_degree[nodes].astype(np.int64)
     buckets: List[RingBucket] = []
     if nodes.size:
-        caps = _bucket_cap(deg)
+        caps = _assign_caps(deg, L if algo in ("pallas", "bitonic") else None)
         owner = nodes // s
         for cap in np.unique(caps):
             cap = int(cap)
@@ -431,7 +433,7 @@ def ring_mc_combine(
     s = _shard_size(n, n_shards)
     n_pad = s * n_shards
 
-    plan = build_ring_plan(graph, None, n_shards, L, elem_budget)
+    plan = build_ring_plan(graph, None, n_shards, L, elem_budget, algo=algo)
     ids0 = np.full((n_pad, L), SENTINEL, dtype=np.int32)
     scores0 = np.zeros((n_pad, L), dtype=np.float32)
     ids0[:n] = np.asarray(walk.ids)
@@ -492,8 +494,8 @@ def ring_grank_baskets(
     s = _shard_size(n, n_shards)
     n_pad = s * n_shards
 
-    plan_a = build_ring_plan(graph, 0, n_shards, L, elem_budget)
-    plan_b = build_ring_plan(graph, 1, n_shards, L, elem_budget)
+    plan_a = build_ring_plan(graph, 0, n_shards, L, elem_budget, algo=algo)
+    plan_b = build_ring_plan(graph, 1, n_shards, L, elem_budget, algo=algo)
 
     ids0 = np.full((n_pad, L), SENTINEL, dtype=np.int32)
     scores0 = np.zeros((n_pad, L), dtype=np.float32)

@@ -156,3 +156,24 @@ def test_grank_same_result_across_merge_algos(rng):
             assert set(da) == set(db), (algo, r)
             for k in da:
                 assert da[k] == pytest.approx(db[k], abs=1e-5), (algo, r, k)
+
+
+def test_prune_topk_matches_full_sort_topk(rng):
+    """bitonic_prune_topk (block sort + half-cleaner prune rounds) must give
+    exactly bitonic_merge_topk's scores for every (w, k, density)."""
+    from approximated_personalized_pagerank_tpu.ops.bitonic import (
+        bitonic_prune_topk,
+    )
+
+    for w, k in ((128, 8), (256, 128), (512, 32), (1024, 128), (512, 512)):
+        for density in (0.0, 0.4, 0.97):
+            c = 5
+            ids = rng.integers(0, 200, size=(c, w)).astype(np.int32)
+            dead = rng.random((c, w)) < density
+            ids[dead] = PAD_ID
+            scores = rng.random((c, w)).astype(np.float32)
+            scores[dead] = 0.0
+            a_i, a_s = bitonic_merge_topk(jnp.asarray(ids), jnp.asarray(scores), k)
+            b_i, b_s = bitonic_prune_topk(jnp.asarray(ids), jnp.asarray(scores), k)
+            np.testing.assert_array_equal(np.asarray(a_s), np.asarray(b_s))
+            np.testing.assert_array_equal(np.asarray(a_i) < 0, np.asarray(b_i) < 0)

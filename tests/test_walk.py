@@ -20,7 +20,7 @@ def test_work_stealing_walk_count_exact():
     n, r, damping = 8, 400, 0.5
     g = Graph.from_dict({i: [i] for i in range(n)})  # self-loops: deg 1
     total = np.zeros(n)
-    for s, c in walk_count_chunks(g, r, damping, seed=3):
+    for s, c, _a in walk_count_chunks(g, r, damping, seed=3):
         arr = np.asarray(c)
         total[s : s + arr.shape[0]] += arr.sum(axis=1)
     # E[len] = 1/(1-d) = 2; mass = 1 + 200/400 * 2 = 2.0 per source
@@ -43,7 +43,7 @@ def test_visit_mass_band():
     n, r, damping = 32, 2000, 0.85
     g = Graph.from_dict({i: [(i + 1) % n] for i in range(n)})
     total = np.zeros(n)
-    for s, c in walk_count_chunks(g, r, damping, seed=7):
+    for s, c, _a in walk_count_chunks(g, r, damping, seed=7):
         arr = np.asarray(c)
         total[s : s + arr.shape[0]] += arr.sum(axis=1)
     expect = 1.0 + int(r * damping) / r / (1.0 - damping)
@@ -126,6 +126,32 @@ def test_mc_end_to_end_with_trace_engine():
     assert (ids[:, 0] == np.arange(n)).all()
 
 
+def test_abandoned_walks_counted_and_rare():
+    """Walks cut off by the step horizon must be measured (return_info) and
+    stay under 0.5% of launched walks — the divergence bound vs the
+    reference's never-truncating do-while (mccompletepathv2.h:142-155)."""
+    n = 64
+    # cycle: every walk runs to its geometric end (no stranding) — the
+    # worst case for the horizon
+    g = Graph.from_dict({i: [(i + 1) % n] for i in range(n)})
+    for engine in ("counts", "trace"):
+        _, info = walk_baskets(
+            g, 10, 1000, 0.85, seed=9, engine=engine, return_info=True
+        )
+        assert info["total_walks"] == n * int(1000 * 0.85)
+        frac = info["abandoned_walks"] / info["total_walks"]
+        assert frac < 0.005, (engine, info)
+
+
+def test_abandoned_zero_with_generous_horizon():
+    g = Graph.from_dict({i: [(i + 1) % 8] for i in range(8)})
+    _, info = walk_baskets(
+        g, 4, 50, 0.85, seed=1, engine="counts", max_steps=5000,
+        return_info=True,
+    )
+    assert info["abandoned_walks"] == 0
+
+
 def test_chunked_equals_one_chunk_totals():
     # chunking only batches sources; totals per source must be seeded per
     # chunk but the *distribution* invariants hold: compare visit-mass sums.
@@ -134,7 +160,7 @@ def test_chunked_equals_one_chunk_totals():
     sums = []
     for chunk in (6, 24):
         total = np.zeros(n)
-        for s, c in walk_count_chunks(g, r, 0.85, seed=11, source_chunk=chunk):
+        for s, c, _a in walk_count_chunks(g, r, 0.85, seed=11, source_chunk=chunk):
             arr = np.asarray(c)
             total[s : s + arr.shape[0]] += arr.sum(axis=1)
         sums.append(total.mean())
