@@ -82,15 +82,27 @@ def benchmark_algorithm(
     oracle_iterations: int = 100,
     oracle_damping: float = 0.85,
     oracle_tolerance: float = 1e-4,
-    batch_size: int = 64,
+    batch_size: int | None = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Quality stats of an approximate all-sources PPR result.
 
     ``result`` is either the ``Baskets`` from ``*_baskets`` functions or the
     reference-shaped dict-of-dicts.  ``seed`` makes sampling reproducible
     (the reference uses an entropy-seeded shuffle, benchmarkAlgorithm.h:60-61).
+
+    ``batch_size=None`` auto-sizes the oracle batch so the dense ``[B, N]``
+    power-iteration state stays bounded at graph scale (~128 MB per buffer);
+    ``mesh`` row-shards each oracle batch across the mesh (CSR replicated),
+    the scale-out path for north-star-size eval.
     """
     check_test_nodes(test_nodes)
+    if batch_size is None:
+        # [B, N] f32 state x ~4 live buffers in the oracle loop; cap the
+        # per-buffer footprint at ~128 MB so N=4.8M eval fits on one chip.
+        batch_size = int(max(4, min(64, (32 << 20) // max(graph.num_nodes, 1))))
+        if mesh is not None:
+            batch_size *= int(mesh.devices.size)
     sources, ids_all, scores_all = _result_to_rows(result, graph)
 
     if strict:
@@ -115,11 +127,16 @@ def benchmark_algorithm(
     jacc_parts, kend_parts, recall_parts, size_parts = [], [], [], []
     for s in range(0, keep.size, batch_size):
         b_src = sel_sources[s : s + batch_size]
-        b_ids = jnp.asarray(sel_ids[s : s + batch_size])
-        b_scores = jnp.asarray(sel_scores[s : s + batch_size])
+        nb = b_src.shape[0]
+        if nb < batch_size:  # pad the ragged final batch: one compile total
+            b_src = np.pad(b_src, (0, batch_size - nb), mode="edge")
+        b_ids = jnp.asarray(sel_ids[s : s + nb])
+        b_scores = jnp.asarray(sel_scores[s : s + nb])
         dense = ppr_single_source_batch(
-            graph, b_src, oracle_iterations, oracle_damping, oracle_tolerance
-        )  # [b, N]
+            graph, b_src, oracle_iterations, oracle_damping, oracle_tolerance,
+            mesh=mesh,
+        )[:nb]  # [b, N]
+        b_src = b_src[:nb]
 
         sizes = np.asarray(jnp.sum(b_ids >= 0, axis=1))
         # Exact basket truncated to the approx basket's size: take the top

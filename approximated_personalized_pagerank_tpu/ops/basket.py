@@ -26,8 +26,13 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 SENTINEL = -1
-NEG_INF = jnp.float32(-jnp.inf)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# (multi-host processes must init the cluster before first backend use).
+NEG_INF = np.float32(-np.inf)
 
 
 class Baskets(NamedTuple):

@@ -68,7 +68,12 @@ def fused_merge_topl(
     c, w = ids.shape
     assert w & (w - 1) == 0, f"W must be a power of two, got {w}"
     assert l_pad & (l_pad - 1) == 0 and l_pad <= w
-    tc = min(row_tile, max(c, 1))
+    # Fixed row tile regardless of C: Mosaic pads sublanes to 8 anyway, and
+    # shrinking the tile for small buckets would mint a DISTINCT kernel per
+    # (tc, w) — on heavy-tailed graphs the high-degree buckets hold 1-7
+    # nodes each, and the resulting per-tc Mosaic recompiles (~70s apiece at
+    # W=8192) dominated whole-program compile time.  One kernel per width.
+    tc = row_tile
     pad = (-c) % tc
     if pad:
         ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=PAD_ID)
@@ -79,7 +84,10 @@ def fused_merge_topl(
     # Wide rows need more scoped VMEM than Mosaic's conservative 16MB
     # default for the network's live temporaries (measured: ~21MB at
     # tc*w = 64k elements, i.e. ~340B per element); v5e has 128MB headroom.
-    vmem_limit = min(110 << 20, max(16 << 20, 352 * tc * w))
+    # Mosaic pads the sublane dim to 8 (int32/f32 native tiles are 8x128),
+    # so a tile of fewer rows still allocates like 8 — a 1-row W=8192 chunk
+    # needs 18.8MB, not 2.9MB (measured: scoped-vmem OOM at the default).
+    vmem_limit = min(110 << 20, max(16 << 20, 352 * max(tc, 8) * w))
     out_ids, out_scores = pl.pallas_call(
         functools.partial(_merge_kernel, l_pad=l_pad),
         grid=grid,

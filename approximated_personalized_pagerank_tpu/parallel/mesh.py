@@ -46,3 +46,49 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join a multi-host run: after this, ``jax.devices()`` is the GLOBAL
+    device list and ``make_mesh()`` builds a multi-host mesh.
+
+    The TPU analogue of launching one process per host on a pod slice (the
+    v5e-16 north star is 4 hosts); collectives ride ICI within a host's
+    chips and DCN across hosts — XLA handles the routing, the ring program
+    is unchanged.  With no arguments the cluster configuration is taken
+    from the environment (TPU metadata / Slurm / Open MPI), matching
+    ``jax.distributed.initialize`` semantics.
+    """
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def put_sharded(arr, sharding: NamedSharding):
+    """Stage a host array onto a (possibly multi-host) mesh.
+
+    Single-process: plain ``jax.device_put``.  Multi-process: every process
+    holds the same global host array (graph prep is deterministic and
+    replicated — the moral equivalent of grankMulti's shared maps,
+    header-only/grankMulti.h:310-322) and contributes exactly the shards its
+    addressable devices own via ``make_array_from_callback``;
+    ``jax.device_put`` of a global array cannot build a multi-host
+    ``jax.Array``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )

@@ -44,7 +44,26 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..graph import SENTINEL, Graph, _assign_caps
 from ..ops.basket import Baskets, keep_top, norm1_rows
 from ..ops.merge import _merge_rows, resolve_merge_algo
-from .mesh import NODE_AXIS, make_mesh
+from .mesh import NODE_AXIS, make_mesh, put_sharded
+
+
+def _trim_rows(ids, scores, n: int) -> Baskets:
+    """Drop the shard-padding rows.  Multi-process arrays are not fully
+    addressable, so the slice must run as an SPMD program (every process
+    executes it) rather than an eager op."""
+    if ids.shape[0] == n:
+        return Baskets(ids, scores)
+    if jax.process_count() == 1:
+        return Baskets(ids[:n], scores[:n])
+    return Baskets(*jax.jit(lambda a, b: (a[:n], b[:n]))(ids, scores))
+
+
+def _host_iterations(h) -> int:
+    """Read the per-device half-sweep counter (all entries equal — the
+    convergence decision is a global pmax) off this process's shards."""
+    if jax.process_count() == 1:
+        return int(np.asarray(h).max())
+    return int(max(int(np.asarray(s.data).max()) for s in h.addressable_shards))
 
 __all__ = ["ring_grank_baskets", "build_ring_plan", "RingPlan"]
 
@@ -443,10 +462,7 @@ def ring_mc_combine(
     rep = NamedSharding(mesh, P())
     plan_d = tuple(
         tuple(
-            (
-                jax.device_put(jnp.asarray(b.rows), row_sh),
-                jax.device_put(jnp.asarray(b.succ), row_sh),
-            )
+            (put_sharded(b.rows, row_sh), put_sharded(b.succ, row_sh))
             for b in rnd
         )
         for rnd in plan.rounds
@@ -455,12 +471,12 @@ def ring_mc_combine(
         mesh, n_shards, s, L, K, _plan_signature(plan), algo, combine_passes
     )
     out_ids, out_scores = prog(
-        jax.device_put(ids0, row_sh),
-        jax.device_put(scores0, row_sh),
+        put_sharded(ids0, row_sh),
+        put_sharded(scores0, row_sh),
         plan_d,
-        jax.device_put(jnp.float32(damping), rep),
+        put_sharded(np.float32(damping), rep),
     )
-    return Baskets(out_ids[:n], out_scores[:n])
+    return _trim_rows(out_ids, out_scores, n)
 
 
 def ring_grank_baskets(
@@ -506,16 +522,13 @@ def ring_grank_baskets(
 
     row_sh = NamedSharding(mesh, P(NODE_AXIS))
     rep = NamedSharding(mesh, P())
-    ids_d = jax.device_put(ids0, row_sh)
-    scores_d = jax.device_put(scores0, row_sh)
+    ids_d = put_sharded(ids0, row_sh)
+    scores_d = put_sharded(scores0, row_sh)
 
     def put_plan(plan):
         return tuple(
             tuple(
-                (
-                    jax.device_put(jnp.asarray(b.rows), row_sh),
-                    jax.device_put(jnp.asarray(b.succ), row_sh),
-                )
+                (put_sharded(b.rows, row_sh), put_sharded(b.succ, row_sh))
                 for b in rnd
             )
             for rnd in plan.rounds
@@ -534,9 +547,9 @@ def ring_grank_baskets(
         scores_d,
         plan_a_d,
         plan_b_d,
-        jax.device_put(jnp.float32(damping), rep),
-        jax.device_put(jnp.float32(tolerance), rep),
-        jax.device_put(jnp.int32(iterations), rep),
+        put_sharded(np.float32(damping), rep),
+        put_sharded(np.float32(tolerance), rep),
+        put_sharded(np.int32(iterations), rep),
     )
     mem = None
     if analyze_memory:
@@ -545,9 +558,9 @@ def ring_grank_baskets(
         out_ids, out_scores, h = compiled(*args)
     else:
         out_ids, out_scores, h = prog(*args)
-    out = Baskets(out_ids[:n], out_scores[:n])
+    out = _trim_rows(out_ids, out_scores, n)
     if return_info or analyze_memory:
-        info = {"iterations_ran": int(np.asarray(h).max())}
+        info = {"iterations_ran": _host_iterations(h)}
         if mem is not None:
             info["memory_analysis"] = mem
         return out, info

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""North-star scale driver: full GRank + MCCompletePathV2 with quality eval
+on a soc-LiveJournal-class graph (default 4.8M nodes / 69M edges), single
+chip.
+
+This is the end-to-end run the reference cannot attempt (its serial C++
+grank needs ~40s for 23k nodes; at 4.8M nodes / 69M edges the same
+O(|E|*L*I) work is ~3,300x larger).  Stages are timed separately and a
+JSON summary is printed at the end; every number is measured, not
+projected.
+
+Usage:
+    python examples/run_scale.py                 # the full north star
+    python examples/run_scale.py --nodes 1000000 --edges 10000000
+    python examples/run_scale.py --skip-mc       # GRank + eval only
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+import numpy as np
+
+from approximated_personalized_pagerank_tpu import (
+    benchmark_algorithm,
+    grank_baskets,
+    mccompletepathv2_baskets,
+)
+from approximated_personalized_pagerank_tpu.utils.synthetic import powerlaw_graph
+
+
+def run_scale(
+    nodes: int = 4_800_000,
+    edges: int = 69_000_000,
+    K: int = 50,
+    L: int = 100,
+    iterations: int = 30,
+    damping: float = 0.85,
+    tolerance: float = 1e-4,
+    test_nodes: int = 100,
+    mc_r: int = 200,
+    mc_l: int = 200,
+    skip_mc: bool = False,
+    seed: int = 7,
+    log=print,
+) -> dict:
+    out: dict = {"scale_full_nodes": nodes, "scale_full_edges": edges}
+
+    t0 = time.time()
+    graph = powerlaw_graph(nodes, edges, seed=seed)
+    out["scale_full_build_s"] = round(time.time() - t0, 1)
+    deg = graph.out_degree
+    out["scale_full_max_out_degree"] = int(deg.max())
+    out["scale_full_dangling_nodes"] = int((deg == 0).sum())
+    log(
+        f"[build] {graph} max_deg={out['scale_full_max_out_degree']} "
+        f"dangling={out['scale_full_dangling_nodes']} "
+        f"({out['scale_full_build_s']}s)"
+    )
+
+    t0 = time.time()
+    part = graph.partition
+    plans = [graph.merge_plan(0, L=L), graph.merge_plan(1, L=L)]
+    out["scale_full_prep_s"] = round(time.time() - t0, 1)
+    log(
+        f"[prep] partition sizes {int((part == 0).sum())}/{int((part == 1).sum())}, "
+        f"buckets {len(plans[0].buckets)}+{len(plans[1].buckets)} "
+        f"({out['scale_full_prep_s']}s)"
+    )
+
+    # --- GRank, sparse engine, canonical config ---
+    t0 = time.time()
+    np.asarray(  # warm-up: compiles the full-run program (same tol mode)
+        grank_baskets(graph, K, L, 1, damping, tolerance, engine="sparse").ids
+    )
+    log(f"[grank] warm-up/compile {round(time.time() - t0, 1)}s")
+    t0 = time.time()
+    baskets, info = grank_baskets(
+        graph, K, L, iterations, damping, tolerance,
+        engine="sparse", return_info=True,
+    )
+    np.asarray(baskets.ids)
+    wall = time.time() - t0
+    iters_ran = info["iterations_ran"]
+    # measured merge work: edges out of each swept partition x L per sweep
+    deg64 = deg.astype(np.int64)
+    e0 = int(deg64[part == 0].sum())
+    e1 = int(deg64[part == 1].sum())
+    merges = ((iters_ran + 1) // 2 * e0 + iters_ran // 2 * e1) * L
+    out["scale_full_wall_s"] = round(wall, 1)
+    out["scale_full_iterations"] = iters_ran
+    out["scale_full_merges_per_s"] = round(merges / wall)
+    log(
+        f"[grank] {iters_ran} half-sweeps in {wall:.1f}s "
+        f"({out['scale_full_merges_per_s'] / 1e6:.0f}M merges/s)"
+    )
+
+    # --- quality eval vs the exact oracle ---
+    t0 = time.time()
+    stats = benchmark_algorithm(baskets, graph, test_nodes, True, seed=0)
+    out["scale_full_eval_s"] = round(time.time() - t0, 1)
+    out["scale_full_jaccard"] = round(stats["jaccard average"], 4)
+    out["scale_full_jaccard_min"] = round(stats["jaccard min"], 4)
+    out["scale_full_kendall"] = round(stats["kendall average"], 4)
+    out["scale_full_recall"] = round(stats["recall average"], 4)
+    log(
+        f"[eval] jaccard {stats['jaccard average']:.4f} "
+        f"recall {stats['recall average']:.4f} "
+        f"kendall {stats['kendall average']:.4f} "
+        f"({out['scale_full_eval_s']}s, {test_nodes} strict sources)"
+    )
+    del baskets
+
+    # --- MCCompletePathV2, full (walks + combine) ---
+    if not skip_mc:
+        t0 = time.time()
+        mc, mc_info = mccompletepathv2_baskets(
+            graph, K, mc_l, mc_r, damping, seed=1,
+            engine="sparse", return_info=True,
+        )
+        np.asarray(mc.ids)
+        mc_wall = time.time() - t0
+        out["scale_full_mc_wall_s"] = round(mc_wall, 1)
+        out["scale_full_mc_r"] = mc_r
+        out["scale_full_mc_walk_steps"] = mc_info["walk_steps"]
+        out["scale_full_mc_walk_steps_per_s"] = round(
+            mc_info["walk_steps"] / mc_wall
+        )
+        out["scale_full_mc_abandoned_frac"] = round(
+            mc_info["abandoned_walks"] / max(mc_info["total_walks"], 1), 6
+        )
+        log(
+            f"[mc] R={mc_r} in {mc_wall:.1f}s "
+            f"({out['scale_full_mc_walk_steps_per_s'] / 1e6:.1f}M steps/s, "
+            f"abandoned {out['scale_full_mc_abandoned_frac']:.2%})"
+        )
+        t0 = time.time()
+        mc_stats = benchmark_algorithm(mc, graph, test_nodes, True, seed=0)
+        out["scale_full_mc_jaccard"] = round(mc_stats["jaccard average"], 4)
+        out["scale_full_mc_recall"] = round(mc_stats["recall average"], 4)
+        log(
+            f"[mc eval] jaccard {mc_stats['jaccard average']:.4f} "
+            f"recall {mc_stats['recall average']:.4f} "
+            f"({round(time.time() - t0, 1)}s)"
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--nodes", type=int, default=4_800_000)
+    ap.add_argument("--edges", type=int, default=69_000_000)
+    ap.add_argument("--iterations", type=int, default=30)
+    ap.add_argument("--tolerance", type=float, default=1e-4)
+    ap.add_argument("--test-nodes", type=int, default=100)
+    ap.add_argument("--mc-r", type=int, default=200)
+    ap.add_argument("--skip-mc", action="store_true")
+    args = ap.parse_args()
+    out = run_scale(
+        nodes=args.nodes,
+        edges=args.edges,
+        iterations=args.iterations,
+        tolerance=args.tolerance,
+        test_nodes=args.test_nodes,
+        mc_r=args.mc_r,
+        skip_mc=args.skip_mc,
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
