@@ -19,6 +19,23 @@ def sample_graph_path() -> str:
     return _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "data", "sample_graph.csv"
     )
+
+
+def eat_graph_path() -> str:
+    """Path of the bundled Eat (Edinburgh Associative Thesaurus) dataset —
+    the reference's canonical real benchmark graph (example.txt: 312,342 CSV
+    lines, 23,132 nodes / 312,310 deduped edges; thesis p.17 dataset table)
+    — shipped gzipped so the repo is benchmarkable standalone."""
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "data", "eat.csv.gz"
+    )
+
+
+def load_eat_graph() -> Graph:
+    """The bundled Eat graph as a :class:`Graph` (see eat_graph_path)."""
+    return load_csv_graph(eat_graph_path())
+
+
 from .models.benchmark import benchmark_algorithm
 from .models.common import baskets_to_dict, device_graph
 from .models.grank import grank, grank_baskets, grank_multi, grank_multi_baskets
@@ -38,6 +55,8 @@ __all__ = [
     "Graph",
     "load_csv_graph",
     "sample_graph_path",
+    "eat_graph_path",
+    "load_eat_graph",
     "grank",
     "grank_baskets",
     "grank_multi",

@@ -39,6 +39,7 @@ from .common import baskets_to_dict
 @functools.partial(
     jax.jit,
     static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
+    donate_argnames=("basket",),
 )
 def _init_step(
     basket: Baskets,
@@ -97,6 +98,9 @@ def _half_sweep(
     static_argnames=(
         "L", "num_rows", "compute_diff", "elem_budget", "algo"
     ),
+    # the caller never reuses the init basket; donating it saves one full
+    # [N, L] ids+scores replica of HBM (3.8 GB at the 4.8M-node north star)
+    donate_argnames=("basket",),
 )
 def _full_run(
     basket: Baskets,

@@ -44,7 +44,8 @@ from .common import baskets_to_dict
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "num_rows", "elem_budget", "algo")
+    jax.jit, static_argnames=("L", "num_rows", "elem_budget", "algo"),
+    donate_argnames=("basket",),
 )
 def _combine_pass(
     basket: Baskets,
@@ -83,11 +84,18 @@ def mccompletepathv2_baskets(
     matmul_dtype=None,
     return_info: bool = False,
     mesh=None,
+    successor_choice: str = "uniform",
 ) -> Baskets:
     """MCCompletePathV2 returning ``[N, K]`` baskets over internal ids.
 
     ``iterations`` is R — the number of Monte-Carlo walks per node in the
     worst case (include/mccompletepathv2.h:186).
+
+    ``successor_choice="stratified"`` recovers the reference's rotating
+    successor index effect (include/mccompletepathv2.h:142-151): a source's
+    walker cohort takes evenly spaced first edges instead of independent
+    uniform draws (see ops/walk._cohort_hop) — worth measuring at low R
+    (thesis p.7 credits the rotation up to +5%% precision there).
 
     ``engine`` selects the combine implementation exactly like GRank's
     (see models/grank.py): ``"dense"`` keeps the walk counts in an [N, N]
@@ -100,6 +108,12 @@ def mccompletepathv2_baskets(
     check_damping(damping)
     if combine_passes < 1:
         raise ValueError("combine_passes must be positive")
+    if successor_choice not in ("uniform", "stratified"):
+        raise ValueError(
+            f"unknown successor_choice {successor_choice!r} "
+            "(expected 'uniform' or 'stratified')"
+        )
+    stratified = successor_choice == "stratified"
 
     n = graph.num_nodes
     if n == 0:
@@ -115,7 +129,7 @@ def mccompletepathv2_baskets(
 
         basket = walk_baskets(
             graph, L, iterations, damping, seed=seed,
-            return_info=return_info, mesh=mesh,
+            return_info=return_info, mesh=mesh, stratified=stratified,
         )
         info = None
         if return_info:
@@ -132,11 +146,12 @@ def mccompletepathv2_baskets(
         return dense_mc_run(
             graph, K, L, iterations, damping, seed=seed,
             combine_passes=combine_passes, matmul_dtype=matmul_dtype,
-            return_info=return_info,
+            return_info=return_info, stratified=stratified,
         )
 
     basket = walk_baskets(
-        graph, L, iterations, damping, seed=seed, return_info=return_info
+        graph, L, iterations, damping, seed=seed, return_info=return_info,
+        stratified=stratified,
     )
     info = None
     if return_info:

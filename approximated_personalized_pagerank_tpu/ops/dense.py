@@ -470,6 +470,7 @@ def dense_mc_run(
     recall: float = DENSE_TRUNC_RECALL,
     exact_trunc: bool = False,
     return_info: bool = False,
+    stratified: bool = False,
 ) -> Baskets:
     """MCCompletePathV2 end-to-end with the dense engine: quota-slot walks
     accumulate into an [N, N] count matrix (ops/walk.py), then the combine
@@ -487,7 +488,9 @@ def dense_mc_run(
     counts = jnp.zeros((n_pad, n_pad), jnp.float32)
     visits = 0.0
     abandoned = 0
-    for s, chunk, a in walk_count_chunks(graph, iterations, damping, seed=seed):
+    for s, chunk, a in walk_count_chunks(
+        graph, iterations, damping, seed=seed, stratified=stratified
+    ):
         if return_info:
             visits += float(jnp.sum(chunk) - chunk.shape[0]) * iterations
             abandoned += int(a)

@@ -118,10 +118,25 @@ def _merge_rows(ids, scores, L: int, algo: str):
 
 
 class DeviceBucket(NamedTuple):
-    """Device-resident ELL bucket (see graph.MergePlan)."""
+    """Device-resident ELL bucket (see graph.MergePlan).
 
-    rows: jax.Array  # int32[C]   node ids, padded with num_nodes
-    succ: jax.Array  # int32[C,D] successor ids, padded with -1
+    ``succ_flat`` is the [C, cap] successor matrix stored FLAT: TPU layouts
+    pad the minor dimension to 128 lanes, so a resident [C, cap] i32 array
+    with cap < 128 expands up to 128/cap x in HBM (measured 6.4x at cap 20
+    — ~2.4 GB of pure padding across the 4.8M-node north star's buckets,
+    the difference between fitting one v5e and OOM).  A 1-D array pads to
+    128 elements total; the 2-D view is materialized per chunk inside the
+    program (``.reshape(C, cap)``), so only chunk-sized temporaries ever
+    hold the padded layout.
+    """
+
+    rows: jax.Array  # int32[C]     node ids, padded with num_nodes
+    succ_flat: jax.Array  # int32[C*cap] successor ids, padded with -1
+
+    @property
+    def succ(self) -> jax.Array:
+        c = self.rows.shape[0]
+        return self.succ_flat.reshape(c, -1)
 
 
 def device_plan(plan, num_nodes: int) -> Tuple[DeviceBucket, ...]:
@@ -131,7 +146,7 @@ def device_plan(plan, num_nodes: int) -> Tuple[DeviceBucket, ...]:
         out.append(
             DeviceBucket(
                 rows=jnp.asarray(b.rows, dtype=jnp.int32),
-                succ=jnp.asarray(b.succ, dtype=jnp.int32),
+                succ_flat=jnp.asarray(b.succ.reshape(-1), dtype=jnp.int32),
             )
         )
     return tuple(out)
@@ -189,73 +204,65 @@ def _bucket_candidates(
 def merge_bucket(
     basket: Baskets | None,
     rows: jax.Array,
-    succ: jax.Array,
+    succ_flat: jax.Array,
     damping: jax.Array,
     L: int,
     mode: str = "grank",
-    old: Baskets | None = None,
+    compute_diff: bool = False,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
     algo: str | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """Merged top-L baskets for one degree bucket, plus per-row L1 diff.
 
-    ``old`` (rows gathered from the current basket set) enables the
-    convergence diff (include/grank.h:123); without it the diff is zeros.
+    ``succ_flat`` is the bucket's [C, cap] successor matrix stored flat
+    (see DeviceBucket): each chunk's [chunk, cap] view is sliced out of the
+    1-D array inside the loop body, so no bucket-sized array with a
+    sub-128 minor dimension is ever resident (TPU lane padding would
+    expand it up to 128/cap x).  For the same reason the ``old`` rows for
+    the convergence diff (include/grank.h:123) are gathered per chunk, not
+    for the whole bucket up front.
+
     Rows padded with out-of-range ids produce garbage that callers drop via
-    scatter ``mode='drop'``; their diff is masked to 0 here.
+    scatter ``mode='drop'``; callers mask their diff via ``rows < N``.
     """
     if algo is None:
         algo = resolve_merge_algo(None)
-    c, d = succ.shape
+    c = rows.shape[0]
+    d = succ_flat.shape[0] // max(c, 1)
     width = 1 + (d if basket is None else d * basket.width)
     chunk = int(max(1, min(c, elem_budget // max(width, 1))))
     n_chunks = -(-c // chunk)
     pad = n_chunks * chunk - c
 
-    num_nodes = None
     if pad:
         rows_p = jnp.pad(rows, (0, pad), constant_values=jnp.iinfo(jnp.int32).max)
-        succ_p = jnp.pad(succ, ((0, pad), (0, 0)), constant_values=SENTINEL)
+        flat_p = jnp.pad(succ_flat, (0, pad * d), constant_values=SENTINEL)
     else:
-        rows_p, succ_p = rows, succ
+        rows_p, flat_p = rows, succ_flat
 
-    def one_chunk(args):
-        rows_c, succ_c, old_c = args
+    def one_chunk(start):
+        rows_c = jax.lax.dynamic_slice(rows_p, (start,), (chunk,))
+        succ_c = jax.lax.dynamic_slice(
+            flat_p, (start * d,), (chunk * d,)
+        ).reshape(chunk, d)
         ids, scores, post = _bucket_candidates(
             basket, rows_c, succ_c, damping, mode
         )
         new = _merge_rows(ids, scores, L, algo)
         new = Baskets(new.ids, new.scores * post[:, None])
-        if old_c is not None:
+        if compute_diff and basket is not None:
+            safe_rows = jnp.minimum(rows_c, basket.ids.shape[0] - 1)
+            old_c = Baskets(basket.ids[safe_rows], basket.scores[safe_rows])
             diff = norm1_rows(new, old_c)
         else:
-            diff = jnp.zeros((rows_c.shape[0],), dtype=jnp.float32)
+            diff = jnp.zeros((chunk,), dtype=jnp.float32)
         return new.ids, new.scores, diff
 
-    if old is not None:
-        old_p = Baskets(
-            ids=jnp.pad(old.ids, ((0, pad), (0, 0)), constant_values=SENTINEL)
-            if pad
-            else old.ids,
-            scores=jnp.pad(old.scores, ((0, pad), (0, 0))) if pad else old.scores,
-        )
-    else:
-        old_p = None
-
     if n_chunks == 1:
-        out_ids, out_scores, diff = one_chunk((rows_p, succ_p, old_p))
+        out_ids, out_scores, diff = one_chunk(jnp.int32(0))
     else:
-        rows_r = rows_p.reshape(n_chunks, chunk)
-        succ_r = succ_p.reshape(n_chunks, chunk, d)
-        if old_p is not None:
-            old_r = Baskets(
-                old_p.ids.reshape(n_chunks, chunk, -1),
-                old_p.scores.reshape(n_chunks, chunk, -1),
-            )
-        else:
-            old_r = None
         out_ids, out_scores, diff = jax.lax.map(
-            one_chunk, (rows_r, succ_r, old_r)
+            one_chunk, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
         )
         out_ids = out_ids.reshape(n_chunks * chunk, L)
         out_scores = out_scores.reshape(n_chunks * chunk, L)
@@ -287,26 +294,25 @@ def merge_sweep(
     scatters results into ``out_basket`` (defaults to ``basket``).  Returns
     the updated basket set and the max per-row L1 diff (0 if not requested).
     """
-    updates = []
     max_diff = jnp.float32(0.0)
+    target = out_basket if out_basket is not None else basket
+    ids, scores = target.ids, target.scores
     for b in buckets:
-        old = (
-            Baskets(basket.ids[b.rows], basket.scores[b.rows])
-            if (compute_diff and basket is not None)
-            else None
-        )
         new, diff = merge_bucket(
-            basket, b.rows, b.succ, damping, L, mode=mode, old=old,
+            basket, b.rows, b.succ_flat, damping, L, mode=mode,
+            compute_diff=compute_diff and basket is not None,
             elem_budget=elem_budget, algo=algo,
         )
-        updates.append((b.rows, new))
+        # Scatter each bucket's rows as soon as they are computed (reads
+        # still come from the unmodified ``basket`` value — bucket row sets
+        # are disjoint, so this is the same DAG): holding every bucket's
+        # update until the end kept ~partition_size x L extra elements live
+        # (2.4 GB at the 4.8M-node north star, the difference between
+        # fitting one v5e chip and OOM).
+        ids = ids.at[b.rows].set(new.ids, mode="drop")
+        scores = scores.at[b.rows].set(new.scores, mode="drop")
         if compute_diff:
             max_diff = jnp.maximum(
                 max_diff, jnp.max(diff, initial=0.0, where=b.rows < num_rows)
             )
-    target = out_basket if out_basket is not None else basket
-    ids, scores = target.ids, target.scores
-    for rows, new in updates:
-        ids = ids.at[rows].set(new.ids, mode="drop")
-        scores = scores.at[rows].set(new.scores, mode="drop")
     return Baskets(ids, scores), max_diff

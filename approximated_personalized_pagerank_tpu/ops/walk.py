@@ -97,9 +97,22 @@ def _cohort_init(start_deg, sources, total, slots):
     return src2, src2, rem0, alive0
 
 
-def _cohort_hop(start_deg, indices, src2, cur, rem, alive, u, u2, damping):
+def _cohort_hop(
+    start_deg, indices, src2, cur, rem, alive, u, u2, damping,
+    stratified: bool = False,
+):
     """One hop of the work-stealing cohort (shared stepping code of both
     engines — the PRNG draws ``u``/``u2`` are supplied by the caller).
+
+    ``stratified`` recovers the quality effect of the reference's rotating
+    successor index (include/mccompletepathv2.h:142-151, thesis p.7: up to
+    +5% precision at low walk counts): slots co-located at the same node —
+    in particular every walk's FIRST hop, taken from the shared source —
+    take evenly spaced successors instead of independent draws.  One
+    uniform draw is shared per source row (``u[..., :1]``) and each slot
+    offsets it by its index modulo the local out-degree; marginally each
+    choice stays uniform, jointly a cohort covers the successor set with
+    stratified-sampling variance.
 
     Returns (visit, stepping, cur, rem, alive): ``visit[c, s]`` is the node
     stepped to (undefined where ``stepping`` is False — callers mask it).
@@ -108,10 +121,15 @@ def _cohort_hop(start_deg, indices, src2, cur, rem, alive, u, u2, damping):
     start, deg = pd[..., 0], pd[..., 1]
     # a slot steps iff its walk is live and not stranded at a dangling node
     stepping = alive & (deg > 0)
-    j = jnp.minimum(
-        (u * deg.astype(jnp.float32)).astype(jnp.int32),
-        jnp.maximum(deg - 1, 0),
-    )
+    if stratified:
+        slots = jnp.arange(u.shape[-1], dtype=jnp.int32)[None, :]
+        base = (u[..., :1] * deg.astype(jnp.float32)).astype(jnp.int32)
+        j = (base + slots) % jnp.maximum(deg, 1)
+    else:
+        j = jnp.minimum(
+            (u * deg.astype(jnp.float32)).astype(jnp.int32),
+            jnp.maximum(deg - 1, 0),
+        )
     nxt = indices[jnp.clip(start + j, 0, indices.shape[0] - 1)]
     # geometric continuation: keep walking while u2 <= damping; stranding
     # (deg == 0) also ends the walk (mccompletepathv2.h:142-155)
@@ -128,7 +146,7 @@ def _cohort_hop(start_deg, indices, src2, cur, rem, alive, u, u2, damping):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_nodes", "slots", "max_steps", "unroll")
+    jax.jit, static_argnames=("num_nodes", "slots", "max_steps", "unroll", "stratified")
 )
 def walk_counts_chunk(
     start_deg: jax.Array,  # int32[n, 2]: (indptr[v], out_degree[v]) packed
@@ -142,6 +160,7 @@ def walk_counts_chunk(
     slots: int,
     max_steps: int,
     unroll: int = 32,
+    stratified: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Normalized visit counts ``float32[C, num_nodes]`` for a source chunk,
     plus ``abandoned int32[C]`` — walks cut off by the step horizon (walks
@@ -187,7 +206,7 @@ def walk_counts_chunk(
             for hop in range(unroll):
                 nxt, stepping, cur, rem, alive = _cohort_hop(
                     start_deg, indices, src2, cur, rem, alive,
-                    u_all[hop], u2_all[hop], damping,
+                    u_all[hop], u2_all[hop], damping, stratified=stratified,
                 )
                 # idle slots deposit 0 into the dead column
                 tgts.append(jnp.where(stepping, nxt, n).reshape(-1))
@@ -209,7 +228,7 @@ def walk_counts_chunk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slots", "macro_steps", "unroll")
+    jax.jit, static_argnames=("slots", "macro_steps", "unroll", "stratified")
 )
 def walk_trace_chunk(
     start_deg: jax.Array,  # int32[n, 2]: (indptr[v], out_degree[v]) packed
@@ -221,6 +240,7 @@ def walk_trace_chunk(
     slots: int,
     macro_steps: int,
     unroll: int,
+    stratified: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Visit trace ``int32[C, macro_steps*unroll*slots]`` for a source chunk,
     plus ``abandoned int32[C]`` walks cut off by the step horizon (see
@@ -259,7 +279,7 @@ def walk_trace_chunk(
         for hop in range(unroll):
             nxt, stepping, cur, rem, alive = _cohort_hop(
                 start_deg, indices, src2, cur, rem, alive,
-                u_all[hop], u2_all[hop], damping,
+                u_all[hop], u2_all[hop], damping, stratified=stratified,
             )
             visits.append(jnp.where(stepping, nxt, SENTINEL))
         block = jnp.concatenate(visits, axis=-1)  # [C, unroll*slots]
@@ -416,6 +436,7 @@ def walk_trace_basket_chunks(
     slots: int | None = None,
     unroll: int = 32,
     mesh=None,
+    stratified: bool = False,
 ):
     """Yield ``(start_row, Baskets, visits, abandoned)`` normalized top-L
     walk baskets per source chunk using the O(N)-independent trace engine.
@@ -479,6 +500,7 @@ def walk_trace_basket_chunks(
             slots,
             macro_steps,
             unroll,
+            stratified=stratified,
         )
         # pad rows re-walk source 0; exclude them from the counters
         visits = jnp.sum(trace[: chunk_sources.size] >= 0)
@@ -498,6 +520,7 @@ def walk_count_chunks(
     max_steps: int | None = None,
     slots: int | None = None,
     unroll: int = 32,
+    stratified: bool = False,
 ):
     """Yield ``(start_row, counts[f32 C, N], abandoned)`` normalized
     visit-count chunks covering all sources (the last chunk may include
@@ -538,6 +561,7 @@ def walk_count_chunks(
             slots,
             macro_steps,
             unroll,
+            stratified=stratified,
         )
         yield s, counts[: chunk_sources.size], jnp.sum(
             abandoned[: chunk_sources.size]
@@ -556,6 +580,7 @@ def walk_baskets(
     return_info: bool = False,
     engine: str = "auto",
     mesh=None,
+    stratified: bool = False,
 ) -> Baskets:
     """Top-L walk baskets ``[N, L]`` for every node of the graph.
 
@@ -589,6 +614,7 @@ def walk_baskets(
         for s, top, v, a in walk_trace_basket_chunks(
             graph, L, iterations, damping, seed=seed,
             source_chunk=source_chunk, slots=slots, mesh=mesh,
+            stratified=stratified,
         ):
             if return_info:
                 visits += float(v)
@@ -598,7 +624,7 @@ def walk_baskets(
     else:
         for s, counts, a in walk_count_chunks(
             graph, iterations, damping, seed=seed, source_chunk=source_chunk,
-            max_steps=max_steps, slots=slots,
+            max_steps=max_steps, slots=slots, stratified=stratified,
         ):
             if return_info:
                 visits += float(jnp.sum(counts) - counts.shape[0]) * iterations

@@ -84,7 +84,16 @@ def native_bfs_bipartition(indptr, indices, cindptr, cindices):
 
 
 def parse_edge_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Parse ``n1,n2`` lines into (src, dst) int64 arrays (duplicates kept)."""
+    """Parse ``n1,n2`` lines into (src, dst) int64 arrays (duplicates kept).
+
+    ``.gz`` paths are decompressed in memory (the bundled Eat dataset ships
+    gzipped, data/eat.csv.gz) and parsed with the vectorized numpy path.
+    """
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            return _parse_bytes(f.read(), path)
     lib = _native_lib()
     if lib is not None:
         return _parse_native(lib, path)
@@ -110,6 +119,10 @@ def _parse_native(lib, path: str) -> Tuple[np.ndarray, np.ndarray]:
 def _parse_numpy(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         data = f.read()
+    return _parse_bytes(data, path)
+
+
+def _parse_bytes(data: bytes, path: str) -> Tuple[np.ndarray, np.ndarray]:
     if not data:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     # Normalize separators so the file is one stream of integers:

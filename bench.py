@@ -40,6 +40,7 @@ from approximated_personalized_pagerank_tpu import (
     benchmark_algorithm,
     grank_baskets,
     load_csv_graph,
+    load_eat_graph,
     mccompletepathv2_baskets,
 )
 
@@ -64,15 +65,8 @@ SCALE_WALKS = 200  # R for the walk-engine throughput measurement
 def load_graph():
     if os.path.exists(EAT_PATH):
         return load_csv_graph(EAT_PATH), "eat"
-    # fallback: synthetic graph of the same scale
-    rng = np.random.default_rng(0)
-    n, e = 23132, 312310
-    return (
-        Graph.from_edges(
-            rng.integers(0, n, size=e), rng.integers(0, n, size=e), num_nodes=n
-        ),
-        "synthetic",
-    )
+    # the repo bundles the same dataset gzipped: standalone benchmarking
+    return load_eat_graph(), "eat"
 
 
 def measured_merges(graph, L, half_sweeps):
