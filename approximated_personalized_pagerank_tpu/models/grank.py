@@ -23,6 +23,7 @@ pure gather (reads only the *old* basket tensor) — no intra-sweep hazards.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Hashable, Optional, Tuple
 
 import jax
@@ -34,6 +35,17 @@ from ..ops.basket import Baskets, empty_baskets, keep_top_chunked
 from ..ops.merge import DEFAULT_ELEM_BUDGET, DeviceBucket, device_plan, merge_sweep
 from ..utils.validation import check_basket_params, check_damping, check_iterations
 from .common import baskets_to_dict
+
+# Above this basket size (N * L elements) the main loop steps from the host
+# (one dispatch + convergence sync per half-sweep) instead of the device
+# while_loop: the fused loop's lax.cond skip branches and loop carries keep
+# extra full-basket copies live (measured: 2x 2.29 GB remat copies at the
+# 4.8M-node north star, the difference between fitting one v5e and OOM),
+# while the host loop's per-sweep sync costs ~ms against multi-second
+# sweeps at this scale.
+DEVICE_LOOP_MAX_ELEMS = int(
+    os.environ.get("PPR_DEVICE_LOOP_MAX_ELEMS", str(1 << 28))
+)
 
 
 @functools.partial(
@@ -69,6 +81,7 @@ def _init_step(
 @functools.partial(
     jax.jit,
     static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
+    donate_argnames=("basket",),
 )
 def _half_sweep(
     basket: Baskets,
@@ -266,6 +279,8 @@ def grank_baskets(
     )
 
     compute_diff = tolerance >= 0
+    if not host_loop and n * L >= DEVICE_LOOP_MAX_ELEMS:
+        host_loop = True  # see DEVICE_LOOP_MAX_ELEMS
     if not host_loop:
         basket, h = _full_run(
             basket,

@@ -11,9 +11,14 @@ Semantics preserved exactly:
 * per-source L1 (norm-1) tolerance stop; negative tolerance disables the
   early stop (pprSingleSource.h:23-25).
 
-TPU formulation: batched over many sources at once — state is ``[B, N]``, the
-push is a gather over ``edge_src`` followed by a batched segment-sum over
-``edge_dst``, edge-chunked to bound the ``[B, E]`` intermediate.
+TPU formulation: batched over many sources at once — state is ``[B, N]``.
+The push ``nxt[b, v] = sum over predecessors u of x[b, u] * damping/outdeg(u)``
+is computed as a **gather/reduce over in-degree-bucketed ELL** of the
+reverse graph: for each bucket of destinations with similar in-degree,
+gather ``pushes[:, pred]`` into a dense ``[B, C, cap]`` block and sum over
+``cap`` — no scatters anywhere in the hot loop (an earlier edge-chunked
+segment-sum formulation paid one HBM scatter-add per edge per sweep and was
+~an order of magnitude slower at the 4.8M-node north-star scale).
 """
 
 from __future__ import annotations
@@ -27,31 +32,37 @@ import numpy as np
 
 from ..graph import Graph
 from ..utils.validation import check_damping, check_iterations
-from .common import DeviceGraph, device_graph
 
-# Bound on the [B, edge_chunk] intermediate per push step.
+# Bound on the [B, chunk, cap] gather intermediate per push step.
 DEFAULT_EDGE_ELEM_BUDGET = 1 << 24
+
+
+def _reverse_graph(graph: Graph) -> Graph:
+    """The predecessor graph (CSC as a Graph), cached on the instance."""
+    rev = getattr(graph, "_rev_graph", None)
+    if rev is None:
+        cindptr, cindices = graph.csc
+        rev = Graph(cindptr, cindices)
+        graph._rev_graph = rev
+    return rev
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "num_nodes", "edge_chunk"),
+    static_argnames=("iterations", "num_nodes", "elem_budget"),
 )
 def _power_iterate(
-    indptr: jax.Array,
-    indices: jax.Array,
-    edge_src: jax.Array,
+    pred_buckets,  # tuple of (rows, pred_flat) in-degree ELL buckets
     out_degree: jax.Array,
     sources: jax.Array,  # int32[B]
     damping: jax.Array,
     tolerance: jax.Array,
     iterations: int,
     num_nodes: int,
-    edge_chunk: int,
+    elem_budget: int,
 ) -> jax.Array:
     b = sources.shape[0]
     n = num_nodes
-    e = indices.shape[0]
 
     # damping/outdeg per node; dangling nodes push nothing (mass loss,
     # pprSingleSource.h:57-66 — empty successor loop).
@@ -59,31 +70,45 @@ def _power_iterate(
         out_degree > 0, damping / jnp.maximum(out_degree, 1).astype(jnp.float32), 0.0
     )
 
-    # Pad edges to a chunk multiple; padded edges route to a dead bin (n).
-    n_chunks = max(1, -(-e // edge_chunk))
-    pad = n_chunks * edge_chunk - e
-    esrc = jnp.pad(edge_src, (0, pad))
-    edst = jnp.pad(indices, (0, pad), constant_values=n)
-    esrc = esrc.reshape(n_chunks, edge_chunk)
-    edst = edst.reshape(n_chunks, edge_chunk)
-
     x0 = jnp.zeros((b, n), dtype=jnp.float32)
     x0 = x0.at[jnp.arange(b), sources].set(1.0)
 
     def push(x):
         pushes = x * coef[None, :]
+        nxt = jnp.zeros((b, n), dtype=jnp.float32)
+        for rows, pred_flat in pred_buckets:
+            c = rows.shape[0]
+            cap = pred_flat.shape[0] // max(c, 1)
+            chunk = int(max(1, min(c, elem_budget // max(b * cap, 1))))
+            n_chunks = -(-c // chunk)
+            pad = n_chunks * chunk - c
+            rows_p = jnp.pad(rows, (0, pad), constant_values=n) if pad else rows
+            flat_p = (
+                jnp.pad(pred_flat, (0, pad * cap), constant_values=-1)
+                if pad
+                else pred_flat
+            )
 
-        def body(carry, chunk):
-            s, d = chunk
-            vals = pushes[:, s]  # [B, ce]
-            acc = jax.vmap(
-                lambda row: jax.ops.segment_sum(row, d, num_segments=n + 1)
-            )(vals)
-            return carry + acc[:, :n], None
+            def one(start, flat_p=flat_p, chunk=chunk, cap=cap):
+                pred = jax.lax.dynamic_slice(
+                    flat_p, (start * cap,), (chunk * cap,)
+                ).reshape(chunk, cap)
+                valid = pred >= 0
+                safe = jnp.where(valid, pred, 0)
+                vals = pushes[:, safe] * valid[None]  # [B, chunk, cap]
+                return jnp.sum(vals, axis=-1)  # [B, chunk]
 
-        nxt, _ = jax.lax.scan(
-            body, jnp.zeros((b, n), dtype=jnp.float32), (esrc, edst)
-        )
+            if n_chunks == 1:
+                acc = one(jnp.int32(0))
+                rows_c = rows_p
+            else:
+                acc = jax.lax.map(
+                    one, jnp.arange(n_chunks, dtype=jnp.int32)
+                )  # [n_chunks, B, chunk]
+                acc = jnp.moveaxis(acc, 1, 0).reshape(b, n_chunks * chunk)
+                rows_c = rows_p
+            # each destination row lives in exactly one bucket: set, drop pads
+            nxt = nxt.at[:, rows_c].set(acc, mode="drop")
         return nxt.at[jnp.arange(b), sources].add(1.0 - damping)
 
     def cond(state):
@@ -121,11 +146,24 @@ def ppr_single_source_batch(
     """
     check_iterations(iterations)
     check_damping(damping)
-    dg = device_graph(graph)
     src_np = np.asarray(sources, dtype=np.int32)
     b = int(src_np.shape[0])
     pad = 0
-    args = [dg.indptr, dg.indices, dg.edge_src, dg.out_degree]
+
+    rev = _reverse_graph(graph)
+    plan = rev.merge_plan(None)  # in-degree buckets of the forward graph
+    pred_buckets = getattr(graph, "_pred_buckets", None)
+    if pred_buckets is None:
+        pred_buckets = tuple(
+            (
+                jnp.asarray(bk.rows, dtype=jnp.int32),
+                jnp.asarray(bk.succ.reshape(-1), dtype=jnp.int32),
+            )
+            for bk in plan.buckets
+        )
+        graph._pred_buckets = pred_buckets
+    out_degree = jnp.asarray(graph.out_degree, dtype=jnp.int32)
+
     if mesh is not None and b > 0:
         from ..parallel.mesh import replicated, row_sharding
 
@@ -133,23 +171,23 @@ def ppr_single_source_batch(
         pad = (-b) % d
         src_np = np.pad(src_np, (0, pad))
         rep = replicated(mesh)
-        args = [jax.device_put(a, rep) for a in args]
+        pred_buckets = tuple(
+            (jax.device_put(r, rep), jax.device_put(f, rep))
+            for r, f in pred_buckets
+        )
+        out_degree = jax.device_put(out_degree, rep)
         sources_d = jax.device_put(jnp.asarray(src_np), row_sharding(mesh))
     else:
         sources_d = jnp.asarray(src_np)
-    e = max(graph.num_edges, 1)
-    edge_chunk = int(min(e, max(1024, edge_elem_budget // max(b + pad, 1))))
     out = _power_iterate(
-        args[0],
-        args[1],
-        args[2],
-        args[3],
+        pred_buckets,
+        out_degree,
         sources_d,
         jnp.float32(damping),
         jnp.float32(tolerance),
         iterations,
         graph.num_nodes,
-        edge_chunk,
+        edge_elem_budget,
     )
     return out[:b] if pad else out
 

@@ -207,6 +207,23 @@ def bench_scale():
     return out
 
 
+def bench_scale_full():
+    """The north-star run end-to-end: soc-LiveJournal-class 4.8M nodes /
+    69M edges, full sparse GRank to tolerance + quality eval on 100 strict
+    sources + full MCCompletePathV2, single chip (examples/run_scale.py).
+    ~15-20 min of compute when the persistent compile cache is warm."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ppr_run_scale",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "examples", "run_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run_scale()
+
+
 def main():
     graph, dataset = load_graph()
     elapsed, extra = bench_eat(graph, dataset)
@@ -224,7 +241,17 @@ def main():
         "vs_baseline": round(REFERENCE_GRANK_MS / 1000.0 / elapsed, 2),
         "extra": extra,
     }
-    print(json.dumps(result))
+    # Print the quick blocks immediately: if the north-star block below is
+    # cut short by an external timeout, the last complete stdout line is
+    # still a parseable result.
+    print(json.dumps(result), flush=True)
+
+    if os.environ.get("PPR_BENCH_SCALE_FULL", "1") != "0":
+        try:
+            extra.update(bench_scale_full())
+        except Exception as e:
+            extra["scale_full_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

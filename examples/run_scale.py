@@ -51,7 +51,9 @@ def run_scale(
     tolerance: float = 1e-4,
     test_nodes: int = 100,
     mc_r: int = 200,
-    mc_l: int = 200,
+    # L=100 at 4.8M nodes: the MC combine holds in+out [N, L] basket pairs;
+    # L=200 would need ~15 GB of basket buffers alone on a 16 GB chip.
+    mc_l: int = 100,
     skip_mc: bool = False,
     seed: int = 7,
     log=print,
@@ -82,8 +84,8 @@ def run_scale(
 
     # --- GRank, sparse engine, canonical config ---
     t0 = time.time()
-    np.asarray(  # warm-up: compiles the full-run program (same tol mode)
-        grank_baskets(graph, K, L, 1, damping, tolerance, engine="sparse").ids
+    np.asarray(  # warm-up: compiles init + BOTH partitions' sweep programs
+        grank_baskets(graph, K, L, 2, damping, tolerance, engine="sparse").ids
     )
     log(f"[grank] warm-up/compile {round(time.time() - t0, 1)}s")
     t0 = time.time()
