@@ -44,6 +44,7 @@ from approximated_personalized_pagerank_tpu.utils.synthetic import powerlaw_grap
 def run_scale(
     nodes: int = 4_800_000,
     edges: int = 69_000_000,
+    locality: float = 0.8,
     K: int = 50,
     L: int = 100,
     iterations: int = 30,
@@ -56,12 +57,20 @@ def run_scale(
     mc_l: int = 100,
     skip_mc: bool = False,
     seed: int = 7,
-    log=print,
+    log=None,
 ) -> dict:
-    out: dict = {"scale_full_nodes": nodes, "scale_full_edges": edges}
+    if log is None:  # unbuffered by default: progress must survive nohup
+        import functools
+
+        log = functools.partial(print, flush=True)
+    out: dict = {
+        "scale_full_nodes": nodes,
+        "scale_full_edges": edges,
+        "scale_full_locality": locality,
+    }
 
     t0 = time.time()
-    graph = powerlaw_graph(nodes, edges, seed=seed)
+    graph = powerlaw_graph(nodes, edges, seed=seed, locality=locality)
     out["scale_full_build_s"] = round(time.time() - t0, 1)
     deg = graph.out_degree
     out["scale_full_max_out_degree"] = int(deg.max())
@@ -164,6 +173,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--nodes", type=int, default=4_800_000)
     ap.add_argument("--edges", type=int, default=69_000_000)
+    ap.add_argument(
+        "--locality", type=float, default=0.8,
+        help="fraction of edges routed within communities (0 = pure "
+        "configuration model, an adversarially hard PPR instance; ~0.8 "
+        "reproduces the community concentration of social graphs)",
+    )
     ap.add_argument("--iterations", type=int, default=30)
     ap.add_argument("--tolerance", type=float, default=1e-4)
     ap.add_argument("--test-nodes", type=int, default=100)
@@ -173,6 +188,7 @@ def main():
     out = run_scale(
         nodes=args.nodes,
         edges=args.edges,
+        locality=args.locality,
         iterations=args.iterations,
         tolerance=args.tolerance,
         test_nodes=args.test_nodes,
