@@ -140,9 +140,9 @@ def mccompletepathv2_baskets(
         )
         return (out, info) if return_info else out
 
-    from ..ops.dense import dense_mc_run, use_dense_engine
+    from ..ops.dense import MC_DENSE_MAX_NODES, dense_mc_run, use_dense_engine
 
-    if use_dense_engine(n, engine, None):
+    if use_dense_engine(n, engine, None, max_nodes=MC_DENSE_MAX_NODES):
         return dense_mc_run(
             graph, K, L, iterations, damping, seed=seed,
             combine_passes=combine_passes, matmul_dtype=matmul_dtype,

@@ -141,8 +141,11 @@ def ppr_single_source_batch(
     """Dense exact PPR vectors ``float32[B, N]`` for internal-id sources.
 
     With ``mesh`` the source batch is row-sharded across the mesh (CSR
-    replicated) — embarrassingly parallel scale-out for the oracle, e.g.
-    evaluating many test sources across a pod slice.
+    replicated) — embarrassingly parallel scale-out for the oracle on a
+    SINGLE-PROCESS mesh (all shards addressable: the final ``out[:b]`` trim
+    and callers' ``np.asarray`` materialize the global array).  Multi-host
+    eval instead runs this per process on the process's own source slice —
+    the harness samples on every host identically, so slicing is trivial.
     """
     check_iterations(iterations)
     check_damping(damping)

@@ -42,9 +42,19 @@ from .basket import SENTINEL, Baskets
 
 __all__ = ["DensePlan", "build_dense_plan", "dense_grank_run", "use_dense_engine"]
 
-# Auto-engine cutoff: above this node count the [N, N] score matrix (f32)
-# plus the adjacency halves and the sweep temporaries stop fitting HBM.
-DENSE_MAX_NODES = int(os.environ.get("PPR_DENSE_MAX_NODES", "24576"))
+# Auto-engine cutoff: the measured dense/sparse crossover on v5e (Eat-class
+# density, canonical K=50/L=100/30 half-sweeps, round 4):
+#   N      2048   4096   8192   16384   23132(Eat)
+#   dense  0.05s  0.08s  0.27s  1.21s   3.05s
+#   sparse 0.17s  0.43s  0.67s  1.33s   1.67s
+# The dense sweep's O(N^2) matmul overtakes the sparse pipeline's O(E)
+# gather/merge between 16k and 23k nodes; HBM would only become the binding
+# constraint far later (~60k nodes for the [N, N] f32 score matrix).
+DENSE_MAX_NODES = int(os.environ.get("PPR_DENSE_MAX_NODES", "16384"))
+# MC's auto cutoff for the dense combine (see use_dense_engine): 2 combine
+# passes amortize far better than GRank's 30 sweeps; bounded by the [N, N]
+# f32 count matrix (~6.4 GB at 40k nodes on a 16 GB chip).
+MC_DENSE_MAX_NODES = int(os.environ.get("PPR_MC_DENSE_MAX_NODES", "32768"))
 # Per-row threshold recall for approx_max_k (see module docstring: misses
 # only soften the truncation boundary, they never lose true top-L entries).
 DENSE_TRUNC_RECALL = float(os.environ.get("PPR_DENSE_RECALL", "0.95"))
@@ -52,15 +62,24 @@ DENSE_TRUNC_RECALL = float(os.environ.get("PPR_DENSE_RECALL", "0.95"))
 _LANE = 128
 
 
-def use_dense_engine(num_nodes: int, engine: str, mesh) -> bool:
-    """Resolve the ``engine`` parameter ("auto" | "sparse" | "dense")."""
+def use_dense_engine(
+    num_nodes: int, engine: str, mesh, max_nodes: int | None = None
+) -> bool:
+    """Resolve the ``engine`` parameter ("auto" | "sparse" | "dense").
+
+    ``max_nodes`` overrides the auto cutoff — MCCompletePathV2 passes
+    ``MC_DENSE_MAX_NODES``: its dense combine runs only ``combine_passes``
+    (2) matmuls instead of GRank's 30 half-sweeps, so the dense engine
+    stays ahead of the sparse merge well past GRank's crossover (measured
+    on Eat 23k: dense MC combine ~0.1 s vs ~1.2 s sparse).
+    """
     if engine == "dense":
         return True
     if engine == "sparse" or mesh is not None:
         return False
     if engine != "auto":
         raise ValueError(f"unknown engine {engine!r}")
-    return 0 < num_nodes <= DENSE_MAX_NODES
+    return 0 < num_nodes <= (DENSE_MAX_NODES if max_nodes is None else max_nodes)
 
 
 def default_matmul_dtype() -> jnp.dtype:
@@ -395,20 +414,15 @@ def dense_grank_run(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("start", "n_pad", "L", "recall", "exact_trunc")
-)
-def _write_trunc_chunk(counts, chunk, start: int, n_pad: int, L: int,
-                       recall: float, exact_trunc: bool):
-    """Truncate a walk-count chunk to top-L and write it at row ``start``.
-
-    The per-source L-cap mirrors the reference's in-walk cap
-    (mccompletepathv2.h:152-153) applied after counting — a superset of the
-    reference's behavior, which *drops* visits once a basket is full.
-    """
-    c = jnp.pad(chunk, ((0, 0), (0, n_pad - chunk.shape[-1])))
-    c = _trunc_rows(c, L, recall, exact_trunc)
-    return jax.lax.dynamic_update_slice_in_dim(counts, c, start, axis=0)
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _scatter_baskets(ids, scores, n_pad: int):
+    """Dense [n_pad, n_pad] count matrix from [N, L] basket rows; sentinel
+    slots add 0.0 at column 0 — a no-op on the zero-initialised matrix."""
+    rows = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    valid = ids >= 0
+    return jnp.zeros((n_pad, n_pad), jnp.float32).at[
+        rows[:, None], jnp.where(valid, ids, 0)
+    ].add(jnp.where(valid, scores, 0.0))
 
 
 @functools.partial(
@@ -473,30 +487,39 @@ def dense_mc_run(
     stratified: bool = False,
 ) -> Baskets:
     """MCCompletePathV2 end-to-end with the dense engine: quota-slot walks
-    accumulate into an [N, N] count matrix (ops/walk.py), then the combine
+    (the trace engine — measured ~2x the dense-counts scatter path at every
+    graph size, see ops/walk.walk_baskets) produce exact top-L normalized
+    count rows that are scattered into an [N, N] matrix, then the combine
     runs as ``combine_passes`` MXU matmuls.
 
     ``return_info=True`` additionally returns ``{"walk_steps": v}`` — the
-    number of walker hops that actually deposited a visit (measured from the
-    normalized count sums: each source row sums to 1 + visits/R), the honest
+    number of walker hops that actually deposited a visit, the honest
     numerator for walk-steps/s.
     """
-    from .walk import walk_count_chunks
+    from .walk import walk_trace_basket_chunks
 
     n = graph.num_nodes
     n_pad = max(_LANE, -(-n // _LANE) * _LANE)
-    counts = jnp.zeros((n_pad, n_pad), jnp.float32)
     visits = 0.0
     abandoned = 0
-    for s, chunk, a in walk_count_chunks(
-        graph, iterations, damping, seed=seed, stratified=stratified
+    ids_parts, score_parts = [], []
+    for s, top, v, a in walk_trace_basket_chunks(
+        graph, min(L, n), iterations, damping, seed=seed,
+        stratified=stratified,
     ):
         if return_info:
-            visits += float(jnp.sum(chunk) - chunk.shape[0]) * iterations
+            visits += float(v)
             abandoned += int(a)
-        counts = _write_trunc_chunk(
-            counts, chunk, s, n_pad, min(L, n), recall, exact_trunc
-        )
+        ids_parts.append(top.ids)
+        score_parts.append(top.scores)
+    # ONE jitted scatter builds the [N, N] matrix: a per-chunk eager
+    # .at[].add would copy the whole n_pad^2 buffer per chunk (2.1 GB x
+    # 46 chunks on Eat — measured +1.4 s)
+    counts = _scatter_baskets(
+        jnp.concatenate(ids_parts, axis=0),
+        jnp.concatenate(score_parts, axis=0),
+        n_pad,
+    )
     deg = graph.out_degree.astype(np.int64)
     factor = np.where(
         deg > 0, damping / np.maximum(deg, 1).astype(np.float64), 1.0

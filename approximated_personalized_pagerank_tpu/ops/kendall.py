@@ -43,14 +43,20 @@ def kendall_tau_b(
     upper = iu < ju
     pair_valid = pair_valid & upper
 
-    dx = x[..., :, None] - x[..., None, :]
-    dy = y[..., :, None] - y[..., None, :]
-    tie_x = (dx == 0) & pair_valid
-    tie_y = (dy == 0) & pair_valid
-    tie_xy = tie_x & tie_y
-    prod = dx * dy
-    concordant = jnp.sum((prod > 0) & pair_valid, axis=(-2, -1))
-    discordant = jnp.sum((prod < 0) & pair_valid, axis=(-2, -1))
+    # Direct comparisons, not sign(dx*dy): IEEE comparison of two floats is
+    # exact for any dtype, whereas a subtract-then-multiply pipeline can
+    # underflow tiny score differences to zero and miscount them as ties
+    # (the reference does all of this in double, kendall.h:86-146; at
+    # north-star score magnitudes ~1e-7 the product of two f32 diffs is
+    # where precision actually dies, not the comparisons).
+    gt_x = x[..., :, None] > x[..., None, :]
+    lt_x = x[..., :, None] < x[..., None, :]
+    gt_y = y[..., :, None] > y[..., None, :]
+    lt_y = y[..., :, None] < y[..., None, :]
+    tie_x = ~gt_x & ~lt_x & pair_valid
+    tie_y = ~gt_y & ~lt_y & pair_valid
+    concordant = jnp.sum(((gt_x & gt_y) | (lt_x & lt_y)) & pair_valid, axis=(-2, -1))
+    discordant = jnp.sum(((gt_x & lt_y) | (lt_x & gt_y)) & pair_valid, axis=(-2, -1))
     same_x = jnp.sum(tie_x, axis=(-2, -1))
     same_y = jnp.sum(tie_y, axis=(-2, -1))
     total = jnp.sum(pair_valid, axis=(-2, -1))

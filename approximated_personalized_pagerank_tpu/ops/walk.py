@@ -25,12 +25,14 @@ advances one hop per step, with
 Two accumulation engines share the stepping code (and therefore the PRNG
 stream — equal arguments give bitwise-equal visit multisets):
 
-* ``counts``: scatter-add visits into dense ``[C, N]`` rows — fastest at
-  small N;
-* ``trace``: record visit ids in an O(steps)-per-source buffer and count
-  them with one sort + run-length pass — memory independent of N, the only
-  viable path at graph scale (round-1's dense rows collapsed to ~5 sources
-  per dispatch at N=4.8M).
+* ``trace`` (the default): record visit ids in an O(steps)-per-source
+  buffer and count them with one sort + run-length pass — memory
+  independent of N, and measured faster than ``counts`` at EVERY graph
+  size (docs/PERF.md round-4 table; the per-macro-step scatter-add is
+  what loses);
+* ``counts``: scatter-add visits into dense ``[C, N]`` rows — kept as the
+  structurally-independent second engine for the bitwise cross-check
+  (round-1's dense rows collapse to ~5 sources per dispatch at N=4.8M).
 
 Counts are divided by the original ``R`` (mccompletepathv2.h:158-160);
 dangling sources yield ``{v: 1.0}`` (mccompletepathv2.h:162-163).
@@ -56,11 +58,6 @@ __all__ = [
     "default_max_steps",
 ]
 
-# Above this node count the [C, N] dense count rows stop making sense (a
-# handful of sources per dispatch) and the trace engine takes over.
-DENSE_COUNT_MAX_NODES = int(
-    os.environ.get("PPR_WALK_DENSE_MAX_NODES", "32768")
-)
 
 
 def default_max_steps(damping: float, eps: float = 1e-9) -> int:
@@ -100,19 +97,24 @@ def _cohort_init(start_deg, sources, total, slots):
 def _cohort_hop(
     start_deg, indices, src2, cur, rem, alive, u, u2, damping,
     stratified: bool = False,
+    first_hop=False,
 ):
     """One hop of the work-stealing cohort (shared stepping code of both
     engines — the PRNG draws ``u``/``u2`` are supplied by the caller).
 
     ``stratified`` recovers the quality effect of the reference's rotating
     successor index (include/mccompletepathv2.h:142-151, thesis p.7: up to
-    +5% precision at low walk counts): slots co-located at the same node —
-    in particular every walk's FIRST hop, taken from the shared source —
+    +5% precision at low walk counts): on the FIRST hop — the only hop
+    where the whole cohort row is co-located, at its shared source — slots
     take evenly spaced successors instead of independent draws.  One
     uniform draw is shared per source row (``u[..., :1]``) and each slot
     offsets it by its index modulo the local out-degree; marginally each
-    choice stays uniform, jointly a cohort covers the successor set with
-    stratified-sampling variance.
+    choice stays uniform, jointly the cohort covers the source's successor
+    set with stratified-sampling variance.  Later hops (and pool walks
+    restarted by work stealing mid-loop) use independent draws: slots are
+    then at *different* nodes, where a shared base draw would correlate
+    unrelated walkers without any coverage benefit.  ``first_hop`` is a
+    traced bool (scalar or broadcastable) marking those hops.
 
     Returns (visit, stepping, cur, rem, alive): ``visit[c, s]`` is the node
     stepped to (undefined where ``stepping`` is False — callers mask it).
@@ -121,15 +123,15 @@ def _cohort_hop(
     start, deg = pd[..., 0], pd[..., 1]
     # a slot steps iff its walk is live and not stranded at a dangling node
     stepping = alive & (deg > 0)
+    j = jnp.minimum(
+        (u * deg.astype(jnp.float32)).astype(jnp.int32),
+        jnp.maximum(deg - 1, 0),
+    )
     if stratified:
         slots = jnp.arange(u.shape[-1], dtype=jnp.int32)[None, :]
         base = (u[..., :1] * deg.astype(jnp.float32)).astype(jnp.int32)
-        j = (base + slots) % jnp.maximum(deg, 1)
-    else:
-        j = jnp.minimum(
-            (u * deg.astype(jnp.float32)).astype(jnp.int32),
-            jnp.maximum(deg - 1, 0),
-        )
+        j_strat = (base + slots) % jnp.maximum(deg, 1)
+        j = jnp.where(first_hop, j_strat, j)
     nxt = indices[jnp.clip(start + j, 0, indices.shape[0] - 1)]
     # geometric continuation: keep walking while u2 <= damping; stranding
     # (deg == 0) also ends the walk (mccompletepathv2.h:142-155)
@@ -204,9 +206,11 @@ def walk_counts_chunk(
             tgts = []
             vals = []
             for hop in range(unroll):
+                first = (step == 0) if hop == 0 else False
                 nxt, stepping, cur, rem, alive = _cohort_hop(
                     start_deg, indices, src2, cur, rem, alive,
                     u_all[hop], u2_all[hop], damping, stratified=stratified,
+                    first_hop=first,
                 )
                 # idle slots deposit 0 into the dead column
                 tgts.append(jnp.where(stepping, nxt, n).reshape(-1))
@@ -277,9 +281,11 @@ def walk_trace_chunk(
         u2_all = jax.random.uniform(k_cont, (unroll, c, slots))
         visits = []
         for hop in range(unroll):
+            first = (step == 0) if hop == 0 else False
             nxt, stepping, cur, rem, alive = _cohort_hop(
                 start_deg, indices, src2, cur, rem, alive,
                 u_all[hop], u2_all[hop], damping, stratified=stratified,
+                first_hop=first,
             )
             visits.append(jnp.where(stepping, nxt, SENTINEL))
         block = jnp.concatenate(visits, axis=-1)  # [C, unroll*slots]
@@ -410,10 +416,18 @@ def _trace_plan(
     source_chunk: int | None,
     slots: int | None,
     unroll: int,
+    num_nodes: int | None = None,
 ):
     """Host-side cohort sizing for the trace engine: (chunk, slots, total,
     macro_steps, trace width).  The trace buffer is capped at ~32M int32
-    (~128MB); the chunk adapts to the per-source trace width."""
+    (~128MB); the chunk adapts to the per-source trace width.
+
+    Small graphs get small chunks: a chunk's while_loop runs until its
+    SLOWEST source row exhausts its walk quota, so chunking limits how many
+    rows idle behind a straggler hub.  Measured on Eat (23k nodes, R=1000):
+    0.97 s at chunk 512 vs 1.30 s at the 32MB-derived 5461.  At 1M nodes
+    512 and 8192 tie (~31 s), so only sub-64k graphs take the small cap.
+    """
     total = int(iterations * damping)
     if slots is None:
         slots = int(min(16, max(total, 1)))
@@ -422,7 +436,8 @@ def _trace_plan(
     macro_steps = -(-max_steps // max(unroll, 1))
     width = macro_steps * unroll * slots
     if source_chunk is None:
-        source_chunk = int(max(8, min(8192, (32 << 20) // max(width, 1))))
+        cap = 512 if (num_nodes is not None and num_nodes <= 65536) else 8192
+        source_chunk = int(max(8, min(cap, (32 << 20) // max(width, 1))))
     return source_chunk, slots, total, macro_steps, width
 
 
@@ -457,7 +472,7 @@ def walk_trace_basket_chunks(
         axis=-1,
     )
     source_chunk, slots, total, macro_steps, width = _trace_plan(
-        iterations, damping, source_chunk, slots, unroll
+        iterations, damping, source_chunk, slots, unroll, num_nodes=n
     )
     source_chunk = min(source_chunk, max(n, 1))
     source_sharding = None
@@ -593,10 +608,13 @@ def walk_baskets(
     non-dangling source; the reference's do-while never truncates,
     mccompletepathv2.h:142-155, so ``abandoned/total`` is the divergence).
 
-    ``engine``: ``"counts"`` scatter-adds into dense ``[C, N]`` count rows
-    (fastest at small N); ``"trace"`` records visit ids and counts them by
-    sort — memory independent of N, the only viable path at graph scale;
-    ``"auto"`` picks by ``DENSE_COUNT_MAX_NODES``.  Both engines draw the
+    ``engine``: ``"trace"`` (the default) records visit ids and counts them
+    by sort — memory independent of N; ``"counts"`` scatter-adds into dense
+    ``[C, N]`` count rows.  Measured on v5e (round 4, R=1000): trace beats
+    counts at EVERY size — 0.20 vs 0.32 s at 2k nodes, 0.76 vs 1.29 s at
+    8k, 1.50 vs 2.82 s at 16k, 1.30 vs 2.71 s on Eat (23k) — because the
+    per-macro-step scatter-add into the [C, N] buffer costs more than the
+    trace's sequential writes + one counting sort.  Both engines draw the
     same PRNG stream and produce identical visit multisets for equal
     (seed, slots, unroll).
     """
@@ -604,7 +622,7 @@ def walk_baskets(
     if mesh is not None:
         engine = "trace"  # source-sharded walks use the trace engine
     if engine == "auto":
-        engine = "counts" if n <= DENSE_COUNT_MAX_NODES else "trace"
+        engine = "trace"
     if engine not in ("counts", "trace"):
         raise ValueError(f"unknown walk engine {engine!r}")
     ids_parts, score_parts = [], []

@@ -14,11 +14,18 @@ Baseline (reference built with g++ -O3 -march=native, run on this machine):
 ``vs_baseline`` compares against the serial grank (the same algorithm);
 the multi-thread number is reported alongside for context.
 
-All throughput counters are MEASURED, not nominal: iteration counts come
-out of the device loop (a tolerance stop can end it early), MC walk steps
-are derived from the actual visit-count sums, and the sparse-engine numbers
-for both Eat and a 1M-node/10M-edge synthetic graph (the production-scale
-path the dense engine cannot reach) are timed in the same run.
+Measurement discipline:
+* every timed section ends with an 8-byte scalar materialization
+  (``np.asarray(jnp.sum(x))``) — the only reliable synchronization through
+  the remote-TPU tunnel used in this sandbox (``block_until_ready`` can
+  return early there), and one that keeps multi-hundred-MB result arrays
+  OFF the host link, whose bandwidth fluctuates 3-46 MB/s run to run;
+* compile/warm-up time is reported separately per block (``*_compile_s``)
+  and excluded from the timings — a persistent compilation cache
+  (.jax_cache) makes it cheap on repeat runs;
+* all throughput counters are MEASURED, not nominal: iteration counts come
+  out of the device loop (a tolerance stop can end it early), walk steps
+  are derived from the actual visit counts.
 """
 
 import json
@@ -33,6 +40,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
+import jax.numpy as jnp
 import numpy as np
 
 from approximated_personalized_pagerank_tpu import (
@@ -62,6 +70,11 @@ SCALE_SWEEPS = 4  # measured half-sweeps for throughput (not a full run)
 SCALE_WALKS = 200  # R for the walk-engine throughput measurement
 
 
+def _sync(x) -> None:
+    """Synchronize on a device value via an 8-byte scalar transfer."""
+    np.asarray(jnp.sum(x))
+
+
 def load_graph():
     if os.path.exists(EAT_PATH):
         return load_csv_graph(EAT_PATH), "eat"
@@ -83,18 +96,18 @@ def measured_merges(graph, L, half_sweeps):
 
 
 def bench_eat(graph, dataset):
-    # Warm-up: compile all programs (excluded from the timing — the
-    # persistent cache makes this cheap on repeat runs).  Must use the same
-    # tolerance mode as the timed run (the diff changes the program).
-    # NB: materialize via np.asarray — block_until_ready alone does not
-    # synchronize through the remote-TPU tunnel used in this sandbox.
-    np.asarray(grank_baskets(graph, K, L, 2, DAMPING, TOL).ids)
+    """Canonical GRank + MCCompletePathV2 on Eat with the auto engine
+    (sparse: the measured fastest at 23k nodes, see ops/dense.py's
+    crossover table)."""
+    t0 = time.time()
+    _sync(grank_baskets(graph, K, L, 2, DAMPING, TOL).ids)
+    compile_s = time.time() - t0
 
     t0 = time.time()
     baskets, info = grank_baskets(
         graph, K, L, ITERS, DAMPING, TOL, return_info=True
     )
-    np.asarray(baskets.ids)
+    _sync(baskets.ids)
     elapsed = time.time() - t0
     iters_ran = info["iterations_ran"]
 
@@ -102,18 +115,22 @@ def bench_eat(graph, dataset):
 
     # MCCompletePathV2 with the reference driver's config
     # (src/main.cc:64: K=50, L=200, R=1000, damping 0.85).
-    np.asarray(mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=0).ids)
+    t0 = time.time()
+    _sync(mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=0).ids)
+    mc_compile_s = time.time() - t0
     t0 = time.time()
     mc, mc_info = mccompletepathv2_baskets(
         graph, 50, 200, 1000, DAMPING, seed=1, return_info=True
     )
-    np.asarray(mc.ids)
+    _sync(mc.ids)
     mc_elapsed = time.time() - t0
     mc_stats = benchmark_algorithm(mc, graph, 200, True, seed=0)
 
     extra = {
         "dataset": dataset,
         "device": str(jax.devices()[0]),
+        "engine": "sparse",
+        "grank_compile_s": round(compile_s, 2),
         "vs_grank_multi_4t": round(REFERENCE_GRANK_MULTI_MS / 1000.0 / elapsed, 2),
         "iterations_ran": iters_ran,
         "basket_merges_per_s": round(measured_merges(graph, L, iters_ran) / elapsed),
@@ -122,40 +139,76 @@ def bench_eat(graph, dataset):
         "kendall_average": round(stats["kendall average"], 4),
         "recall_average": round(stats["recall average"], 4),
         "average_map_size": round(stats["average map size"], 2),
+        "mc_compile_s": round(mc_compile_s, 2),
         "mc_wall_time_s": round(mc_elapsed, 4),
         "mc_vs_reference": round(REFERENCE_MC_MS / 1000.0 / mc_elapsed, 2),
         "mc_walk_steps": mc_info["walk_steps"],
         "mc_walk_steps_per_s": round(mc_info["walk_steps"] / mc_elapsed),
+        "mc_abandoned_frac": round(
+            mc_info["abandoned_walks"] / max(mc_info["total_walks"], 1), 6
+        ),
         "mc_jaccard_average": round(mc_stats["jaccard average"], 4),
         "mc_kendall_average": round(mc_stats["kendall average"], 4),
     }
-    if "flops" in info:  # dense engine: report measured MFU
-        extra["dense_tflops"] = round(info["flops"] / elapsed / 1e12, 1)
-        extra["dense_mfu"] = round(info["flops"] / elapsed / V5E_BF16_PEAK_FLOPS, 3)
     return elapsed, extra
 
 
-def bench_sparse_eat(graph):
-    """The production (scalable) engine on the same canonical Eat config."""
-    np.asarray(
-        grank_baskets(graph, K, L, 2, DAMPING, TOL, engine="sparse").ids
-    )
+def bench_dense_eat(graph):
+    """The dense MXU engine on the same canonical Eat config (kept for the
+    measured-MFU report; the sparse engine overtakes it at ~16k+ nodes)."""
+    t0 = time.time()
+    _sync(grank_baskets(graph, K, L, 2, DAMPING, TOL, engine="dense").ids)
+    compile_s = time.time() - t0
     t0 = time.time()
     baskets, info = grank_baskets(
-        graph, K, L, ITERS, DAMPING, TOL, engine="sparse", return_info=True
+        graph, K, L, ITERS, DAMPING, TOL, engine="dense", return_info=True
     )
-    np.asarray(baskets.ids)
+    _sync(baskets.ids)
     elapsed = time.time() - t0
     stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
-    return {
-        "sparse_wall_time_s": round(elapsed, 4),
-        "sparse_iterations_ran": info["iterations_ran"],
-        "sparse_merges_per_s": round(
-            measured_merges(graph, L, info["iterations_ran"]) / elapsed
-        ),
-        "sparse_jaccard_average": round(stats["jaccard average"], 4),
-        "sparse_recall_average": round(stats["recall average"], 4),
+    out = {
+        "dense_compile_s": round(compile_s, 2),
+        "dense_wall_time_s": round(elapsed, 4),
+        "dense_iterations_ran": info["iterations_ran"],
+        "dense_jaccard_average": round(stats["jaccard average"], 4),
+        "dense_recall_average": round(stats["recall average"], 4),
     }
+    if "flops" in info:
+        out["dense_tflops"] = round(info["flops"] / elapsed / 1e12, 1)
+        out["dense_mfu"] = round(info["flops"] / elapsed / V5E_BF16_PEAK_FLOPS, 3)
+    return out
+
+
+def bench_ring(graph, sparse_wall_s=None):
+    """The sharded ring path ON THE REAL CHIP (n_shards=1): the Pallas
+    merge inside shard_map + ppermute rotation executing on actual TPU
+    hardware, verified bit-identical to the unsharded sparse engine."""
+    from approximated_personalized_pagerank_tpu.parallel.mesh import make_mesh
+    from approximated_personalized_pagerank_tpu.parallel.ring import (
+        ring_grank_baskets,
+    )
+
+    mesh = make_mesh(1)
+    t0 = time.time()
+    _sync(ring_grank_baskets(graph, K, L, 2, DAMPING, TOL, mesh=mesh).ids)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    rb, rinfo = ring_grank_baskets(
+        graph, K, L, ITERS, DAMPING, TOL, mesh=mesh, return_info=True
+    )
+    _sync(rb.ids)
+    ring_wall = time.time() - t0
+    sb = grank_baskets(graph, K, L, ITERS, DAMPING, TOL, engine="sparse")
+    identical = bool(np.array_equal(np.asarray(rb.ids), np.asarray(sb.ids)))
+    out = {
+        "ring_compile_s": round(compile_s, 2),
+        "ring_tpu_wall_s": round(ring_wall, 4),
+        "ring_iterations_ran": rinfo["iterations_ran"],
+        "ring_ids_identical_to_sparse": identical,
+    }
+    if sparse_wall_s:
+        out["ring_vs_sparse"] = round(ring_wall / sparse_wall_s, 3)
+    return out
 
 
 def bench_scale():
@@ -168,19 +221,20 @@ def bench_scale():
     )
     # GRank sparse: time SCALE_SWEEPS half-sweeps (tolerance<0 disables the
     # stop so exactly that many run; warm-up with the same program).
-    np.asarray(
-        grank_baskets(graph, K, L, 1, DAMPING, -1.0, engine="sparse").ids
-    )
+    t0 = time.time()
+    _sync(grank_baskets(graph, K, L, 1, DAMPING, -1.0, engine="sparse").ids)
+    compile_s = time.time() - t0
     t0 = time.time()
     baskets, info = grank_baskets(
         graph, K, L, SCALE_SWEEPS, DAMPING, -1.0, engine="sparse",
         return_info=True,
     )
-    np.asarray(baskets.ids)
+    _sync(baskets.ids)
     elapsed = time.time() - t0
     out = {
         "scale_nodes": SCALE_N,
         "scale_edges": SCALE_E,
+        "scale_compile_s": round(compile_s, 2),
         "scale_grank_half_sweeps": info["iterations_ran"],
         "scale_grank_wall_s": round(elapsed, 3),
         "scale_grank_merges_per_s": round(
@@ -194,12 +248,17 @@ def bench_scale():
     )
 
     # warm-up: one source chunk compiles the whole walk+count program
-    next(iter(walk_trace_basket_chunks(graph, L, SCALE_WALKS, DAMPING, seed=0)))
+    t0 = time.time()
+    _, top, _, _ = next(
+        iter(walk_trace_basket_chunks(graph, L, SCALE_WALKS, DAMPING, seed=0))
+    )
+    _sync(top.ids)
+    out["scale_walk_compile_s"] = round(time.time() - t0, 2)
     t0 = time.time()
     wb, winfo = walk_baskets(
         graph, L, SCALE_WALKS, DAMPING, seed=0, return_info=True
     )
-    np.asarray(wb.ids)
+    _sync(wb.ids)
     walk_elapsed = time.time() - t0
     out["scale_walk_wall_s"] = round(walk_elapsed, 3)
     out["scale_walk_steps"] = winfo["walk_steps"]
@@ -209,9 +268,8 @@ def bench_scale():
 
 def bench_scale_full():
     """The north-star run end-to-end: soc-LiveJournal-class 4.8M nodes /
-    69M edges, full sparse GRank to tolerance + quality eval on 100 strict
-    sources + full MCCompletePathV2, single chip (examples/run_scale.py).
-    ~15-20 min of compute when the persistent compile cache is warm."""
+    69M edges, full sparse GRank to tolerance + quality eval on strict
+    sources + full MCCompletePathV2, single chip (examples/run_scale.py)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -221,13 +279,17 @@ def bench_scale_full():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.run_scale()
+    return mod.run_scale(test_nodes=50)
 
 
 def main():
     graph, dataset = load_graph()
     elapsed, extra = bench_eat(graph, dataset)
-    extra.update(bench_sparse_eat(graph))
+    extra.update(bench_dense_eat(graph))
+    try:
+        extra.update(bench_ring(graph, sparse_wall_s=elapsed))
+    except Exception as e:  # the ring block must never sink the headline
+        extra["ring_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("PPR_BENCH_SCALE", "1") != "0":
         try:
             extra.update(bench_scale())
@@ -246,7 +308,12 @@ def main():
     # still a parseable result.
     print(json.dumps(result), flush=True)
 
-    if os.environ.get("PPR_BENCH_SCALE_FULL", "1") != "0":
+    # North star: on by default only where it belongs — a real TPU.  On
+    # CPU-only machines the 4.8M-node block would run for hours; opt in
+    # there with PPR_BENCH_SCALE_FULL=1 (and =0 force-skips anywhere).
+    on_tpu = jax.default_backend() != "cpu"
+    scale_full = os.environ.get("PPR_BENCH_SCALE_FULL", "1" if on_tpu else "0")
+    if scale_full != "0":
         try:
             extra.update(bench_scale_full())
         except Exception as e:

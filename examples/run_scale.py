@@ -31,6 +31,7 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
+import jax.numpy as jnp
 import numpy as np
 
 from approximated_personalized_pagerank_tpu import (
@@ -39,6 +40,13 @@ from approximated_personalized_pagerank_tpu import (
     mccompletepathv2_baskets,
 )
 from approximated_personalized_pagerank_tpu.utils.synthetic import powerlaw_graph
+
+
+def _sync(x) -> None:
+    """Synchronize via an 8-byte scalar transfer: a full np.asarray of a
+    [4.8M, 50] result would push 1-2 GB over the sandbox's remote-TPU
+    link (3-46 MB/s measured — up to 10 minutes of pure transfer)."""
+    np.asarray(jnp.sum(x))
 
 
 def run_scale(
@@ -69,40 +77,75 @@ def run_scale(
         "scale_full_locality": locality,
     }
 
-    t0 = time.time()
-    graph = powerlaw_graph(nodes, edges, seed=seed, locality=locality)
-    out["scale_full_build_s"] = round(time.time() - t0, 1)
+    # Host-side build + prep are deterministic in (nodes, edges, seed,
+    # locality, L, mc_l); a local pickle cache (gitignored) turns the
+    # ~107 s of numpy graph synthesis + partition/bucket prep into a
+    # ~10 s load on repeat runs — the driver's benchmark budget goes to
+    # the device work instead.
+    import pickle
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scale_cache"
+    )
+    cache_path = os.path.join(
+        cache_dir,
+        f"graph_{nodes}_{edges}_{seed}_{locality}_{L}_{mc_l}.pkl",
+    )
+    graph = None
+    if os.path.exists(cache_path):
+        t0 = time.time()
+        try:
+            with open(cache_path, "rb") as f:
+                graph = pickle.load(f)
+            out["scale_full_build_s"] = round(time.time() - t0, 1)
+            log(f"[build] cached {graph} ({out['scale_full_build_s']}s)")
+        except Exception:
+            graph = None
+    if graph is None:
+        t0 = time.time()
+        graph = powerlaw_graph(nodes, edges, seed=seed, locality=locality)
+        out["scale_full_build_s"] = round(time.time() - t0, 1)
+        log(f"[build] {graph} ({out['scale_full_build_s']}s)")
+
     deg = graph.out_degree
     out["scale_full_max_out_degree"] = int(deg.max())
     out["scale_full_dangling_nodes"] = int((deg == 0).sum())
-    log(
-        f"[build] {graph} max_deg={out['scale_full_max_out_degree']} "
-        f"dangling={out['scale_full_dangling_nodes']} "
-        f"({out['scale_full_build_s']}s)"
-    )
 
     t0 = time.time()
     part = graph.partition
     plans = [graph.merge_plan(0, L=L), graph.merge_plan(1, L=L)]
+    if not skip_mc:
+        graph.merge_plan(None, L=mc_l)  # MC combine plan, cached with the rest
     out["scale_full_prep_s"] = round(time.time() - t0, 1)
     log(
         f"[prep] partition sizes {int((part == 0).sum())}/{int((part == 1).sum())}, "
         f"buckets {len(plans[0].buckets)}+{len(plans[1].buckets)} "
         f"({out['scale_full_prep_s']}s)"
     )
+    if not os.path.exists(cache_path):
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(graph, f, protocol=4)
+            os.replace(tmp, cache_path)
+            log(f"[prep] cached graph+plans -> {os.path.basename(cache_path)}")
+        except Exception as e:  # cache is an optimization, never a failure
+            log(f"[prep] cache write skipped: {e}")
 
     # --- GRank, sparse engine, canonical config ---
     t0 = time.time()
-    np.asarray(  # warm-up: compiles init + BOTH partitions' sweep programs
+    _sync(  # warm-up: compiles init + BOTH partitions' sweep programs
         grank_baskets(graph, K, L, 2, damping, tolerance, engine="sparse").ids
     )
-    log(f"[grank] warm-up/compile {round(time.time() - t0, 1)}s")
+    out["scale_full_compile_s"] = round(time.time() - t0, 1)
+    log(f"[grank] warm-up/compile {out['scale_full_compile_s']}s")
     t0 = time.time()
     baskets, info = grank_baskets(
         graph, K, L, iterations, damping, tolerance,
         engine="sparse", return_info=True,
     )
-    np.asarray(baskets.ids)
+    _sync(baskets.ids)
     wall = time.time() - t0
     iters_ran = info["iterations_ran"]
     # measured merge work: edges out of each swept partition x L per sweep
@@ -141,7 +184,7 @@ def run_scale(
             graph, K, mc_l, mc_r, damping, seed=1,
             engine="sparse", return_info=True,
         )
-        np.asarray(mc.ids)
+        _sync(mc.ids)
         mc_wall = time.time() - t0
         out["scale_full_mc_wall_s"] = round(mc_wall, 1)
         out["scale_full_mc_r"] = mc_r

@@ -20,16 +20,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: XLA compiles are slow in this sandbox;
-# caching them makes repeated test runs cheap.  (The env-var spelling is not
-# honored by this jax build; the config API is.)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    ),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# NO persistent compilation cache for the CPU test runs: jax 0.9's cache
+# deserializer segfaults sporadically in long-lived CPU processes (observed
+# at three different cache-read sites across full-suite runs — ring AOT
+# executables and plain pjit programs alike; a fresh interpreter reading
+# the same entries passes).  Cold compiles cost ~10 extra minutes per full
+# run; a crashed interpreter costs the whole suite.
 
 import numpy as np
 import pytest

@@ -24,10 +24,6 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
 
 from approximated_personalized_pagerank_tpu.parallel.mesh import (
     init_distributed,
@@ -38,6 +34,16 @@ init_distributed(f"127.0.0.1:{port}", num_procs, proc_id)
 assert jax.process_count() == num_procs, jax.process_count()
 assert jax.local_device_count() == 4
 assert jax.device_count() == 4 * num_procs
+
+# Establish the Gloo communicator NOW, while both processes are still within
+# milliseconds of each other.  The context is otherwise created lazily at the
+# first cross-process collective, which sits behind a per-process program
+# compile whose duration differs between the processes (one may hit the
+# persistent cache the other is still populating); Gloo's 30s connect
+# timeout then fires on the faster one.
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("ppr-multihost-start")
 
 import numpy as np
 

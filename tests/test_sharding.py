@@ -114,16 +114,9 @@ def test_mc_multi_same_as_serial(rng):
     serial = mccompletepathv2_baskets(
         g, 5, 10, 300, 0.85, seed=7, engine="sparse"
     )
-    import approximated_personalized_pagerank_tpu.ops.walk as walk_mod
-
-    old = walk_mod.DENSE_COUNT_MAX_NODES
-    walk_mod.DENSE_COUNT_MAX_NODES = 0  # serial walks via trace engine too
-    try:
-        serial_trace = mccompletepathv2_baskets(
-            g, 5, 10, 300, 0.85, seed=7, engine="sparse"
-        )
-    finally:
-        walk_mod.DENSE_COUNT_MAX_NODES = old
+    serial_trace = mccompletepathv2_baskets(
+        g, 5, 10, 300, 0.85, seed=7, engine="sparse"
+    )
     sharded = mccompletepathv2_multi_baskets(g, 5, 10, 300, 0.85, 4, seed=7)
 
     def rows(b):
@@ -154,27 +147,58 @@ def test_oracle_sharded_same_as_serial(rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-def test_ring_per_device_memory_is_sharded(rng):
+def test_ring_per_device_memory_is_sharded():
     """The round-1 failure mode was GSPMD all-gathering the [N, L] basket
     per sweep (per-device peak ~ full-graph memory).  The ring program must
     keep a device's peak well under the full basket: ~2 basket shards + the
-    bounded candidate round (parallel/ring.py module docstring)."""
-    from approximated_personalized_pagerank_tpu.parallel.ring import (
-        ring_grank_baskets,
-    )
+    bounded candidate round (parallel/ring.py module docstring).
 
-    n, e, L = 20_000, 200_000, 32
-    g = Graph.from_edges(
-        rng.integers(0, n, size=e), rng.integers(0, n, size=e), num_nodes=n
+    Runs in a SUBPROCESS: jax 0.9's XLA-CPU runtime segfaults handling this
+    AOT-compiled (.compile() + memory_analysis) 8-device executable when
+    the process has already loaded ~100 other compiled programs (full-suite
+    runs crashed in both the cache-read and the fresh-compile paths at this
+    exact call, while a fresh interpreter passes it every time — a
+    process-state-dependent runtime bug, not a property of the program)."""
+    import subprocess
+    import sys
+
+    code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from approximated_personalized_pagerank_tpu import Graph
+from approximated_personalized_pagerank_tpu.parallel.ring import ring_grank_baskets
+
+rng = np.random.default_rng(12345)
+n, e, L = 20_000, 200_000, 32
+g = Graph.from_edges(rng.integers(0, n, size=e), rng.integers(0, n, size=e), num_nodes=n)
+baskets, info = ring_grank_baskets(g, 16, L, 2, 0.85, -1.0, n_shards=8, analyze_memory=True)
+assert (np.asarray(baskets.ids)[:, 0] >= 0).all()
+mem = info["memory_analysis"]
+full_basket_bytes = n * L * 8  # ids i32 + scores f32
+assert mem.peak_memory_in_bytes < 0.5 * full_basket_bytes, (
+    mem.peak_memory_in_bytes, full_basket_bytes)
+print("RING_MEM_OK", mem.peak_memory_in_bytes, full_basket_bytes)
+"""
+    import os
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the subprocess CPU-only
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=repo,
     )
-    baskets, info = ring_grank_baskets(
-        g, 16, L, 2, 0.85, -1.0, n_shards=8, analyze_memory=True
-    )
-    assert (np.asarray(baskets.ids)[:, 0] >= 0).all()
-    mem = info["memory_analysis"]
-    full_basket_bytes = n * L * 8  # ids i32 + scores f32
-    # peak per device must be far below one full basket replica
-    assert mem.peak_memory_in_bytes < 0.5 * full_basket_bytes, (
-        mem.peak_memory_in_bytes,
-        full_basket_bytes,
-    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "RING_MEM_OK" in proc.stdout

@@ -108,20 +108,14 @@ def test_trace_engine_dangling_and_empty():
 
 
 def test_mc_end_to_end_with_trace_engine():
-    """MCCompletePathV2 through the trace walk engine (forced) matches the
-    quality of the counts engine on a small cycle-ish graph: top-1 must be
-    the source itself for every node."""
+    """MCCompletePathV2 through the trace walk engine (the auto default)
+    matches the quality of the counts engine on a small cycle-ish graph:
+    top-1 must be the source itself for every node."""
     from approximated_personalized_pagerank_tpu import mccompletepathv2_baskets
-    import approximated_personalized_pagerank_tpu.ops.walk as walk_mod
 
     n = 20
     g = Graph.from_dict({i: [(i + 1) % n, (i + 3) % n] for i in range(n)})
-    old = walk_mod.DENSE_COUNT_MAX_NODES
-    walk_mod.DENSE_COUNT_MAX_NODES = 0  # force trace via the auto path
-    try:
-        b = mccompletepathv2_baskets(g, 5, 10, 500, 0.85, seed=2, engine="sparse")
-    finally:
-        walk_mod.DENSE_COUNT_MAX_NODES = old
+    b = mccompletepathv2_baskets(g, 5, 10, 500, 0.85, seed=2, engine="sparse")
     ids = np.asarray(b.ids)
     assert (ids[:, 0] == np.arange(n)).all()
 
@@ -165,3 +159,81 @@ def test_chunked_equals_one_chunk_totals():
             total[s : s + arr.shape[0]] += arr.sum(axis=1)
         sums.append(total.mean())
     assert abs(sums[0] - sums[1]) < 0.3, sums
+
+
+def test_stratified_deterministic_given_seed():
+    """successor_choice='stratified' must be exactly reproducible for a
+    fixed seed (the TPU replacement for the reference's entropy-seeded
+    rotating index, include/mccompletepathv2.h:32-34,142-151)."""
+    n = 30
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 2) % n, (i + 7) % n] for i in range(n)})
+    a = walk_baskets(g, 10, 200, 0.85, seed=5, stratified=True)
+    b = walk_baskets(g, 10, 200, 0.85, seed=5, stratified=True)
+    assert (np.asarray(a.ids) == np.asarray(b.ids)).all()
+    assert (np.asarray(a.scores) == np.asarray(b.scores)).all()
+
+
+def test_stratified_first_hop_covers_successors():
+    """With slots >= out-degree, a source's cohort takes evenly spaced
+    FIRST edges: every successor is covered by the first hop (the coverage
+    property the reference's rotating index provides serially, thesis p.7)."""
+    # star: center 0 -> 8 leaves; leaves are dangling (walks end there)
+    g = Graph.from_dict({0: list(range(1, 9)), **{i: [] for i in range(1, 9)}})
+    b = walk_baskets(g, 9, 100, 0.85, seed=0, slots=8, stratified=True)
+    ids = set(np.asarray(b.ids)[0])
+    # every leaf got at least one visit => appears in the top-9 basket
+    assert set(range(1, 9)).issubset(ids), ids
+
+
+def test_stratified_marginal_uniform():
+    """Marginally each stratified choice stays uniform: over many seeds the
+    per-successor first-hop visit frequencies from a single source must
+    approach 1/deg each (the offset is modulo out-degree and the shared
+    base draw is itself uniform)."""
+    deg = 4
+    g = Graph.from_dict({0: list(range(1, deg + 1)), **{i: [] for i in range(1, deg + 1)}})
+    counts = np.zeros(deg + 1)
+    for seed in range(20):
+        for s, c, _a in walk_count_chunks(g, 40, 0.85, seed=seed, stratified=True):
+            counts += np.asarray(c)[0] * 40  # denormalize to raw visits
+    leaf = counts[1:]
+    freq = leaf / leaf.sum()
+    assert np.allclose(freq, 1.0 / deg, atol=0.04), freq
+
+
+def test_stratified_lower_first_hop_variance_than_uniform():
+    """The point of stratification: per-successor first-hop counts must be
+    closer to the uniform target than independent draws (lower dispersion),
+    measured across seeds on a single-source star."""
+    deg = 8
+    g = Graph.from_dict({0: list(range(1, deg + 1)), **{i: [] for i in range(1, deg + 1)}})
+
+    def dispersion(stratified):
+        disp = 0.0
+        for seed in range(12):
+            for s, c, _a in walk_count_chunks(
+                g, 48, 0.85, seed=seed, stratified=stratified
+            ):
+                raw = np.asarray(c)[0, 1 : deg + 1] * 48
+                disp += float(((raw - raw.mean()) ** 2).mean())
+        return disp
+
+    assert dispersion(True) < dispersion(False)
+
+
+def test_stratified_trace_equals_counts_stream():
+    """Both engines must draw the SAME stratified stream: identical visit
+    multisets for equal (seed, slots, unroll)."""
+    n = 16
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 3) % n] for i in range(n)})
+    a = walk_baskets(g, n, 300, 0.85, seed=4, engine="counts", stratified=True)
+    b = walk_baskets(g, n, 300, 0.85, seed=4, engine="trace", stratified=True)
+
+    def rows(bk):
+        ids, sc = np.asarray(bk.ids), np.asarray(bk.scores)
+        return [
+            {int(i): round(float(s), 6) for i, s in zip(ir, sr) if i >= 0}
+            for ir, sr in zip(ids, sc)
+        ]
+
+    assert rows(a) == rows(b)
