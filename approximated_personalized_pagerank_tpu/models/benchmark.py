@@ -98,7 +98,11 @@ def benchmark_algorithm(
     if batch_size is None:
         # [B, N] f32 state x ~4 live buffers in the oracle loop; cap the
         # per-buffer footprint at ~128 MB so N=4.8M eval fits on one chip.
-        batch_size = int(max(4, min(64, (32 << 20) // max(graph.num_nodes, 1))))
+        # The batch cap is 32, not 64: the v5e backend miscompiles the
+        # oracle's gather/reduce at [64, 300k]-class shapes (PPR rows
+        # summing to 6.08 — caught by the oracle's mass-conservation
+        # self-check) while every shape up to B=32 validates clean.
+        batch_size = int(max(4, min(32, (32 << 20) // max(graph.num_nodes, 1))))
         if mesh is not None:
             batch_size *= int(mesh.devices.size)
     if isinstance(result, Baskets):

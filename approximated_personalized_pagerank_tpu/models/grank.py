@@ -42,9 +42,14 @@ from .common import baskets_to_dict
 # extra full-basket copies live (measured: 2x 2.29 GB remat copies at the
 # 4.8M-node north star, the difference between fitting one v5e and OOM),
 # while the host loop's per-sweep sync costs ~ms against multi-second
-# sweeps at this scale.
+# sweeps at this scale.  The threshold is 2^26, not 2^28: on a 1M-node /
+# 14.4M-edge graph with ~35 degree buckets the fused-while-loop program
+# reproducibly kernel-faults the v5e worker while the identical per-sweep
+# programs stepped from the host run fine (a program-size-class backend
+# bug); at 2^26 every graph big enough to build such programs takes the
+# host loop, whose per-sweep cost is noise there anyway.
 DEVICE_LOOP_MAX_ELEMS = int(
-    os.environ.get("PPR_DEVICE_LOOP_MAX_ELEMS", str(1 << 28))
+    os.environ.get("PPR_DEVICE_LOOP_MAX_ELEMS", str(1 << 26))
 )
 
 

@@ -70,12 +70,21 @@ def _power_iterate(
         out_degree > 0, damping / jnp.maximum(out_degree, 1).astype(jnp.float32), 0.0
     )
 
-    x0 = jnp.zeros((b, n), dtype=jnp.float32)
-    x0 = x0.at[jnp.arange(b), sources].set(1.0)
+    # State is [N, B] — node-major, batch on the 128-lane minor axis.  The
+    # batch-major [B, N] formulation gathered [B, chunk, cap] blocks along
+    # axis 1, a transposed-gather pattern under which the v5e backend
+    # SILENTLY CORRUPTS results at some (B, N) shapes and kills the TPU
+    # worker at others ([16, 1M] returned PPR rows summing to 1.8;
+    # [32, 300k] crashed; [6, 1M] was fine — diagnosed via the row-sum
+    # invariant, every true PPR vector sums to <= 1).  Node-major gathers
+    # index only the MAJOR axis with whole [B] lanes as the unit, the
+    # layout TPU gathers are actually built for; it is also faster.
+    x0 = jnp.zeros((n, b), dtype=jnp.float32)
+    x0 = x0.at[sources, jnp.arange(b)].set(1.0)
 
     def push(x):
-        pushes = x * coef[None, :]
-        nxt = jnp.zeros((b, n), dtype=jnp.float32)
+        pushes = x * coef[:, None]  # [N, B]
+        nxt = jnp.zeros((n, b), dtype=jnp.float32)
         for rows, pred_flat in pred_buckets:
             c = rows.shape[0]
             cap = pred_flat.shape[0] // max(c, 1)
@@ -90,26 +99,31 @@ def _power_iterate(
             )
 
             def one(start, flat_p=flat_p, chunk=chunk, cap=cap):
+                # ``start`` is a ROW offset (k * chunk), so the flat slice
+                # begins at start * cap.  (A round-3 bug mapped over chunk
+                # indices k while still slicing at k * cap — every chunk
+                # after the first read the wrong predecessor rows, which
+                # is why oracle results corrupted exactly when b * cap got
+                # big enough to make any bucket multi-chunk.)
                 pred = jax.lax.dynamic_slice(
                     flat_p, (start * cap,), (chunk * cap,)
                 ).reshape(chunk, cap)
                 valid = pred >= 0
                 safe = jnp.where(valid, pred, 0)
-                vals = pushes[:, safe] * valid[None]  # [B, chunk, cap]
-                return jnp.sum(vals, axis=-1)  # [B, chunk]
+                vals = pushes[safe] * valid[..., None]  # [chunk, cap, B]
+                return jnp.sum(vals, axis=1)  # [chunk, B]
 
             if n_chunks == 1:
                 acc = one(jnp.int32(0))
-                rows_c = rows_p
             else:
                 acc = jax.lax.map(
-                    one, jnp.arange(n_chunks, dtype=jnp.int32)
-                )  # [n_chunks, B, chunk]
-                acc = jnp.moveaxis(acc, 1, 0).reshape(b, n_chunks * chunk)
-                rows_c = rows_p
-            # each destination row lives in exactly one bucket: set, drop pads
-            nxt = nxt.at[:, rows_c].set(acc, mode="drop")
-        return nxt.at[jnp.arange(b), sources].add(1.0 - damping)
+                    one, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+                )  # [n_chunks, chunk, B]
+                acc = acc.reshape(n_chunks * chunk, b)
+            # each destination row lives in exactly one bucket: set; the
+            # padded rows carry index n and are dropped
+            nxt = nxt.at[rows_p].set(acc, mode="drop")
+        return nxt.at[sources, jnp.arange(b)].add(1.0 - damping)
 
     def cond(state):
         i, x, active = state
@@ -118,15 +132,15 @@ def _power_iterate(
     def body(state):
         i, x, active = state
         nxt = push(x)
-        diff = jnp.sum(jnp.abs(x - nxt), axis=-1)
-        new_x = jnp.where(active[:, None], nxt, x)
+        diff = jnp.sum(jnp.abs(x - nxt), axis=0)  # [B]
+        new_x = jnp.where(active[None, :], nxt, x)
         new_active = active & (diff >= tolerance)
         return i + 1, new_x, new_active
 
     _, x, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), x0, jnp.ones((b,), dtype=bool))
     )
-    return x
+    return x.T
 
 
 def ppr_single_source_batch(
@@ -192,7 +206,23 @@ def ppr_single_source_batch(
         graph.num_nodes,
         edge_elem_budget,
     )
-    return out[:b] if pad else out
+    out = out[:b] if pad else out
+    # Mass-conservation self-check: every true PPR vector sums to <= 1
+    # (dangling mass is only LOST, pprSingleSource.h:57-66).  The v5e
+    # backend has silently returned corrupt gathers at specific (B, N)
+    # shapes (rows summing to 1.8 at [16, 1M]); this 8*B-byte check turns
+    # any recurrence of that class of bug into a loud error instead of a
+    # poisoned benchmark.
+    if b > 0:
+        sums = np.asarray(jnp.sum(out, axis=-1))
+        if sums.max() > 1.0 + 1e-3 or not np.isfinite(sums).all():
+            raise RuntimeError(
+                "exact-PPR oracle violated mass conservation "
+                f"(max row sum {sums.max():.4f} for batch shape "
+                f"[{b}, {graph.num_nodes}]) — backend miscompilation; "
+                "retry with a different batch_size / edge_elem_budget"
+            )
+    return out
 
 
 def ppr_single_source(

@@ -7,6 +7,9 @@ import numpy as np
 import pytest
 
 from approximated_personalized_pagerank_tpu import Graph, ppr_single_source
+from approximated_personalized_pagerank_tpu.models.ppr_single_source import (
+    ppr_single_source_batch,
+)
 
 
 def reference_ppr(adj, iterations, damping, tolerance, source):
@@ -123,3 +126,30 @@ def test_tolerance_stop_close_to_converged():
     r_tol = ppr_single_source(g, 1000, 0.85, 1e-7, 0)
     r_full = ppr_single_source(g, 1000, 0.85, -1.0, 0)
     assert r_tol[0] == pytest.approx(r_full[0], abs=1e-5)
+
+
+def test_oracle_chunked_equals_unchunked():
+    """Forcing the per-bucket gather into MANY chunks (tiny elem budget)
+    must not change the result.  Regression: a round-3 bug mapped the
+    chunk loop over chunk indices k while slicing the flat ELL at k*cap
+    (instead of k*chunk*cap), so every chunk after the first read wrong
+    predecessor rows — silently corrupting the oracle exactly when the
+    batch/graph size made any bucket multi-chunk (jaccard 0.14 at the 4.8M
+    north star read as 'instance hardness' for half a round)."""
+    rng = np.random.default_rng(8)
+    n = 300
+    g = Graph.from_edges(
+        rng.integers(0, n, 4000), rng.integers(0, n, 4000), num_nodes=n
+    )
+    sources = list(range(24))
+    ref = np.asarray(
+        ppr_single_source_batch(g, sources, 60, 0.85, 1e-6)
+    )
+    chunked = np.asarray(
+        ppr_single_source_batch(
+            g, sources, 60, 0.85, 1e-6, edge_elem_budget=256
+        )
+    )
+    np.testing.assert_allclose(ref, chunked, atol=1e-6)
+    # mass conservation: every PPR vector sums to <= 1 (+ float slack)
+    assert np.asarray(ref).sum(axis=1).max() <= 1.0 + 1e-4
