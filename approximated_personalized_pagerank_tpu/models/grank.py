@@ -267,7 +267,11 @@ def grank_baskets(
     # network sorts no pow2 padding (see graph._width_aligned_cap_table).
     from ..ops.merge import resolve_merge_algo
 
-    plan_L = L if resolve_merge_algo(merge_algo) in ("pallas", "bitonic") else None
+    plan_L = (
+        L
+        if resolve_merge_algo(merge_algo).split(":")[0] in ("pallas", "bitonic")
+        else None
+    )
     plans = [graph.merge_plan(0, L=plan_L), graph.merge_plan(1, L=plan_L)]
     dev_buckets = [device_plan(p, n) for p in plans]
     all_buckets = dev_buckets[0] + dev_buckets[1]

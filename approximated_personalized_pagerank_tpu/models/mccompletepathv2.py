@@ -158,7 +158,11 @@ def mccompletepathv2_baskets(
         basket, info = basket
     from ..ops.merge import resolve_merge_algo
 
-    plan_L = L if resolve_merge_algo(merge_algo) in ("pallas", "bitonic") else None
+    plan_L = (
+        L
+        if resolve_merge_algo(merge_algo).split(":")[0] in ("pallas", "bitonic")
+        else None
+    )
     plan = graph.merge_plan(None, L=plan_L)
     buckets = device_plan(plan, n)
     damping_d = jnp.float32(damping)

@@ -79,12 +79,22 @@ def _merge_rows(ids, scores, L: int, algo: str):
 
     Input: candidate rows [C, W] with SENTINEL (-1) padding.
     Output: Baskets rows [C, L] with SENTINEL padding, sorted desc by score.
+
+    ``algo`` may carry a width cap — ``"pallas:4096"`` routes rows whose
+    pow2-padded width exceeds 4096 to the XLA sort pipeline.  Each Mosaic
+    network kernel's compile cost grows steeply with width (~70 s at
+    W=8192 on v5e); for ONE-SHOT runs at graph scale, trading the widest
+    kernels' runtime edge for their compile time is a net win.
     """
+    max_pallas = MAX_PALLAS_WIDTH
+    if ":" in algo:
+        algo, cap_s = algo.split(":", 1)
+        max_pallas = min(max_pallas, int(cap_s))
     w = ids.shape[-1]
     if (
         algo == "sort"
         or w < MIN_NETWORK_WIDTH
-        or (algo == "pallas" and _next_pow2(w) > MAX_PALLAS_WIDTH)
+        or (algo == "pallas" and _next_pow2(w) > max_pallas)
     ):
         ids, scores = sort_rows_by_id(ids, scores)
         ids, scores = combine_sorted_runs(ids, scores)

@@ -123,7 +123,9 @@ def build_ring_plan(
     deg = graph.out_degree[nodes].astype(np.int64)
     buckets: List[RingBucket] = []
     if nodes.size:
-        caps = _assign_caps(deg, L if algo in ("pallas", "bitonic") else None)
+        caps = _assign_caps(
+            deg, L if algo.split(":")[0] in ("pallas", "bitonic") else None
+        )
         owner = nodes // s
         for cap in np.unique(caps):
             cap = int(cap)
