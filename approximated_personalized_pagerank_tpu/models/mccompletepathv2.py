@@ -101,7 +101,7 @@ def mccompletepathv2_baskets(
     (see models/grank.py): ``"dense"`` keeps the walk counts in an [N, N]
     matrix and runs the combine as MXU matmuls (ops/dense.py), ``"sparse"``
     uses the gather/sort merge over degree buckets, ``"auto"`` picks dense
-    for graphs up to ``PPR_DENSE_MAX_NODES`` nodes.
+    for graphs up to ``PPR_MC_DENSE_MAX_NODES`` (default 32768) nodes.
     """
     check_basket_params(K, L)
     check_iterations(iterations)

@@ -500,16 +500,18 @@ def dense_mc_run(
 
     n = graph.num_nodes
     n_pad = max(_LANE, -(-n // _LANE) * _LANE)
-    visits = 0.0
-    abandoned = 0
+    # Counters accumulate on device — one stack+transfer at the end.  A
+    # float()/int() per chunk is a blocking host round-trip each that also
+    # stalls dispatch of the next chunk (see ops/walk.walk_baskets).
+    visit_parts, abandoned_parts = [], []
     ids_parts, score_parts = [], []
     for s, top, v, a in walk_trace_basket_chunks(
         graph, min(L, n), iterations, damping, seed=seed,
         stratified=stratified,
     ):
         if return_info:
-            visits += float(v)
-            abandoned += int(a)
+            visit_parts.append(jnp.asarray(v, jnp.float32))
+            abandoned_parts.append(a)
         ids_parts.append(top.ids)
         score_parts.append(top.scores)
     # ONE jitted scatter builds the [N, N] matrix: a per-chunk eager
@@ -543,6 +545,8 @@ def dense_mc_run(
         mm_dtype=mm_dtype,
     )
     if return_info:
+        visits = float(np.sum(np.asarray(jnp.stack(visit_parts), np.float64)))
+        abandoned = int(np.asarray(jnp.stack(abandoned_parts)).sum())
         total = int(iterations * damping) * int((deg > 0).sum())
         return out, {
             "walk_steps": int(round(visits)),

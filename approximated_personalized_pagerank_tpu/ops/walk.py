@@ -626,8 +626,12 @@ def walk_baskets(
     if engine not in ("counts", "trace"):
         raise ValueError(f"unknown walk engine {engine!r}")
     ids_parts, score_parts = [], []
-    visits = 0.0
-    abandoned = 0
+    # Per-chunk counters stay ON DEVICE until one stack+transfer at the end:
+    # a float()/int() per chunk is a host round-trip each (46 chunks on Eat,
+    # 587 at the 4.8M north star), and over a remote-TPU tunnel those
+    # blocking syncs also stop the host from queueing the next chunk's
+    # dispatch — the dominant wall-clock distortion in the driver artifact.
+    visit_parts, abandoned_parts = [], []
     if engine == "trace":
         for s, top, v, a in walk_trace_basket_chunks(
             graph, L, iterations, damping, seed=seed,
@@ -635,8 +639,8 @@ def walk_baskets(
             stratified=stratified,
         ):
             if return_info:
-                visits += float(v)
-                abandoned += int(a)
+                visit_parts.append(jnp.asarray(v, jnp.float32))
+                abandoned_parts.append(a)
             ids_parts.append(top.ids)
             score_parts.append(top.scores)
     else:
@@ -645,8 +649,10 @@ def walk_baskets(
             max_steps=max_steps, slots=slots, stratified=stratified,
         ):
             if return_info:
-                visits += float(jnp.sum(counts) - counts.shape[0]) * iterations
-                abandoned += int(a)
+                visit_parts.append(
+                    (jnp.sum(counts) - counts.shape[0]) * iterations
+                )
+                abandoned_parts.append(a)
             ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), counts.shape)
             ids = jnp.where(counts > 0, ids, -1)
             top = keep_top(ids, counts, min(L, n) if n > 0 else L)
@@ -674,6 +680,9 @@ def walk_baskets(
     # count normalisation above already yields that, since their only count
     # is R at the source itself.
     if return_info:
+        # ONE host transfer for all per-chunk counters (see note above).
+        visits = float(np.sum(np.asarray(jnp.stack(visit_parts), np.float64)))
+        abandoned = int(np.asarray(jnp.stack(abandoned_parts)).sum())
         total = int(iterations * damping) * int((graph.out_degree > 0).sum())
         return baskets, {
             "walk_steps": int(round(visits)),

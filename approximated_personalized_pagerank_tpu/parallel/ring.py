@@ -110,6 +110,7 @@ def build_ring_plan(
     program each device runs under shard_map.  ``algo`` (the resolved merge
     pipeline) enables sort-width-aligned caps for the network merges.
     """
+    algo = resolve_merge_algo(algo)
     n = graph.num_nodes
     s = _shard_size(n, n_shards)
     n_pad = s * n_shards

@@ -14,7 +14,12 @@ import numpy as np
 
 from ..graph import Graph
 
-__all__ = ["powerlaw_graph"]
+__all__ = ["powerlaw_graph", "GENERATOR_VERSION"]
+
+# Bump whenever powerlaw_graph's edge distribution changes for identical
+# parameters — cache keys (examples/run_scale.py) embed this so a graph
+# pickled by an older generator is never silently served to a benchmark.
+GENERATOR_VERSION = 3
 
 
 def powerlaw_graph(

@@ -114,9 +114,6 @@ def test_mc_multi_same_as_serial(rng):
     serial = mccompletepathv2_baskets(
         g, 5, 10, 300, 0.85, seed=7, engine="sparse"
     )
-    serial_trace = mccompletepathv2_baskets(
-        g, 5, 10, 300, 0.85, seed=7, engine="sparse"
-    )
     sharded = mccompletepathv2_multi_baskets(g, 5, 10, 300, 0.85, 4, seed=7)
 
     def rows(b):
@@ -126,8 +123,8 @@ def test_mc_multi_same_as_serial(rng):
             for r, q in zip(ids, sc)
         ]
 
-    assert rows(sharded) == rows(serial_trace)
-    # and the counts-engine serial result agrees too (same PRNG stream)
+    # cross-engine coverage at the walk layer lives in
+    # test_walk.test_trace_engine_equals_counts_engine
     assert rows(sharded) == rows(serial)
 
 
