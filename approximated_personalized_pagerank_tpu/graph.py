@@ -109,17 +109,33 @@ def _width_aligned_cap_table(
     return np.asarray(caps, dtype=np.int64)
 
 
-def _assign_caps(deg: np.ndarray, L: int | None) -> np.ndarray:
+def _assign_caps(
+    deg: np.ndarray, L: int | None, net_width: int | None = None
+) -> np.ndarray:
     """Per-node bucket capacity: width-aligned when the merge width L is
-    known (see _width_aligned_cap_table), quarter-octave otherwise."""
+    known (see _width_aligned_cap_table), quarter-octave otherwise.
+
+    With ``net_width`` (the merge pipeline's sorting-network width cap,
+    ops/merge.net_max_width), degrees beyond the largest aligned cap
+    ``sub`` get caps that are *multiples of sub* (quarter-octave in units
+    of sub): such buckets are merged hierarchically in groups of ``sub``
+    successors (ops/merge._hub_merge_chunk), so the multiple-of-sub shape
+    makes the group split exact and every sort row a network row.
+    """
     base = _bucket_cap(deg)
     if L is None:
         return base
-    table = _width_aligned_cap_table(L)
+    table = _width_aligned_cap_table(
+        L, max_width=net_width if net_width else 8192
+    )
     if not table.size:
         return base
     idx = np.searchsorted(table, deg)
     snapped = table[np.minimum(idx, table.size - 1)]
+    if net_width:
+        sub = int(table[-1])
+        groups = _bucket_cap(-(-deg // max(sub, 1)))
+        return np.where(deg <= table[-1], snapped, groups * sub)
     return np.where(deg <= table[-1], snapped, base)
 
 
@@ -335,16 +351,21 @@ class Graph:
 
     # ------------------------------------------------------------- merge plan
     def merge_plan(
-        self, partition_id: int | None = None, L: int | None = None
+        self,
+        partition_id: int | None = None,
+        L: int | None = None,
+        net_width: int | None = None,
     ) -> MergePlan:
         """Degree-bucketed ELL plan for the given partition (or whole graph).
 
         ``partition_id`` of None means "all nodes" (used by the MC combine
         pass, which sweeps every node once).  ``L`` (the merge basket
         width) enables sort-width-aligned bucket caps for the network merge
-        pipelines (see _width_aligned_cap_table).  Cached per argument.
+        pipelines (see _width_aligned_cap_table); ``net_width``
+        additionally gives hub buckets multiple-of-sub caps for the
+        hierarchical merge (see _assign_caps).  Cached per argument.
         """
-        cache_key = (partition_id, L)
+        cache_key = (partition_id, L, net_width)
         if cache_key in self._plans:
             return self._plans[cache_key]
         if partition_id is None:
@@ -357,7 +378,7 @@ class Graph:
         deg = self.out_degree[nodes].astype(np.int64)
         buckets: List[EllBucket] = []
         if nodes.size:
-            caps = _assign_caps(deg, L)
+            caps = _assign_caps(deg, L, net_width)
             for cap in np.unique(caps):
                 sel = nodes[caps == cap]
                 cap = int(cap)

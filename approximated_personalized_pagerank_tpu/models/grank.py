@@ -40,22 +40,24 @@ from .common import baskets_to_dict
 # (one dispatch + convergence sync per half-sweep) instead of the device
 # while_loop: the fused loop's lax.cond skip branches and loop carries keep
 # extra full-basket copies live (measured: 2x 2.29 GB remat copies at the
-# 4.8M-node north star, the difference between fitting one v5e and OOM),
-# while the host loop's per-sweep sync costs ~ms against multi-second
-# sweeps at this scale.  The threshold is 2^26, not 2^28: on a 1M-node /
-# 14.4M-edge graph with ~35 degree buckets the fused-while-loop program
-# reproducibly kernel-faults the v5e worker while the identical per-sweep
-# programs stepped from the host run fine (a program-size-class backend
-# bug); at 2^26 every graph big enough to build such programs takes the
-# host loop, whose per-sweep cost is noise there anyway.
+# 4.8M-node north star, the difference between fitting one v5e and OOM).
+# Below it the device loop matters a lot on remote-device links: each
+# host-loop dispatch costs a link round-trip (~4 s/sweep measured through
+# this sandbox's TPU tunnel — 1M-node 4-sweep run: 8.9 s device loop vs
+# 27.7 s host loop).  Round 4 had lowered this to 2^26 to dodge a v5e
+# kernel fault; the fault class was giant flat hub-row sorts (multi-
+# megabyte single rows), now routed through the hierarchical hub merge
+# (ops/merge._hub_merge_chunk) at every size — see docs/PERF.md.
 DEVICE_LOOP_MAX_ELEMS = int(
-    os.environ.get("PPR_DEVICE_LOOP_MAX_ELEMS", str(1 << 26))
+    os.environ.get("PPR_DEVICE_LOOP_MAX_ELEMS", str(1 << 28))
 )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
+    static_argnames=(
+        "L", "num_rows", "compute_diff", "elem_budget", "algo", "hub_sub"
+    ),
     donate_argnames=("basket",),
 )
 def _init_step(
@@ -67,6 +69,7 @@ def _init_step(
     elem_budget: int,
     compute_diff: bool = False,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Baskets:
     out, _ = merge_sweep(
         None,
@@ -79,13 +82,16 @@ def _init_step(
         out_basket=basket,
         elem_budget=elem_budget,
         algo=algo,
+        hub_sub=hub_sub,
     )
     return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "num_rows", "compute_diff", "elem_budget", "algo"),
+    static_argnames=(
+        "L", "num_rows", "compute_diff", "elem_budget", "algo", "hub_sub"
+    ),
     donate_argnames=("basket",),
 )
 def _half_sweep(
@@ -97,6 +103,7 @@ def _half_sweep(
     compute_diff: bool,
     elem_budget: int,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     return merge_sweep(
         basket,
@@ -108,13 +115,14 @@ def _half_sweep(
         compute_diff=compute_diff,
         elem_budget=elem_budget,
         algo=algo,
+        hub_sub=hub_sub,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "num_rows", "compute_diff", "elem_budget", "algo"
+        "L", "num_rows", "compute_diff", "elem_budget", "algo", "hub_sub"
     ),
     # the caller never reuses the init basket; donating it saves one full
     # [N, L] ids+scores replica of HBM (3.8 GB at the 4.8M-node north star)
@@ -132,6 +140,7 @@ def _full_run(
     compute_diff: bool,
     elem_budget: int,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """The whole GRank main loop as ONE device program.
 
@@ -150,6 +159,7 @@ def _full_run(
         return merge_sweep(
             b, bkts, damping, L, num_rows, mode="grank",
             compute_diff=compute_diff, elem_budget=elem_budget, algo=algo,
+            hub_sub=hub_sub,
         )
 
     def half(state, bkts):
@@ -264,15 +274,19 @@ def grank_baskets(
         )
     # Width-aligned bucket caps when the merge runs through a sorting
     # network (pallas/bitonic): cap*L+1 lands at a power of two, so the
-    # network sorts no pow2 padding (see graph._width_aligned_cap_table).
-    from ..ops.merge import resolve_merge_algo
+    # network sorts no pow2 padding (see graph._width_aligned_cap_table);
+    # hub rows (deg > the largest aligned cap) get multiple-of-sub caps and
+    # the hierarchical hub merge, so no sort row ever exceeds the network
+    # width (see ops/merge._hub_merge_chunk).
+    from ..ops.merge import net_max_width
 
-    plan_L = (
-        L
-        if resolve_merge_algo(merge_algo).split(":")[0] in ("pallas", "bitonic")
-        else None
-    )
-    plans = [graph.merge_plan(0, L=plan_L), graph.merge_plan(1, L=plan_L)]
+    net = net_max_width(merge_algo)
+    plan_L = L if net else None
+    plans = [
+        graph.merge_plan(0, L=plan_L, net_width=net),
+        graph.merge_plan(1, L=plan_L, net_width=net),
+    ]
+    hub_sub = max((net - 1) // L, 1) if net else None
     dev_buckets = [device_plan(p, n) for p in plans]
     all_buckets = dev_buckets[0] + dev_buckets[1]
     damping_d = jnp.float32(damping)
@@ -284,7 +298,8 @@ def grank_baskets(
         damping,
     )
     basket = _init_step(
-        basket, all_buckets, damping_d, L, n, elem_budget, algo=merge_algo
+        basket, all_buckets, damping_d, L, n, elem_budget, algo=merge_algo,
+        hub_sub=hub_sub,
     )
 
     compute_diff = tolerance >= 0
@@ -303,6 +318,7 @@ def grank_baskets(
             compute_diff,
             elem_budget,
             algo=merge_algo,
+            hub_sub=hub_sub,
         )
         out = keep_top_chunked(basket.ids, basket.scores, K)
         if return_info:
@@ -325,6 +341,7 @@ def grank_baskets(
             compute_diff,
             elem_budget,
             algo=merge_algo,
+            hub_sub=hub_sub,
         )
         max_diff[0] = float(d) if compute_diff else 0.0
         active = 1 - active

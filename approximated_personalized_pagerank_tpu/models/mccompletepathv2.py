@@ -44,7 +44,8 @@ from .common import baskets_to_dict
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "num_rows", "elem_budget", "algo"),
+    jax.jit,
+    static_argnames=("L", "num_rows", "elem_budget", "algo", "hub_sub"),
     donate_argnames=("basket",),
 )
 def _combine_pass(
@@ -55,6 +56,7 @@ def _combine_pass(
     num_rows: int,
     elem_budget: int,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Baskets:
     out, _ = merge_sweep(
         basket,
@@ -66,6 +68,7 @@ def _combine_pass(
         compute_diff=False,
         elem_budget=elem_budget,
         algo=algo,
+        hub_sub=hub_sub,
     )
     return out
 
@@ -156,19 +159,17 @@ def mccompletepathv2_baskets(
     info = None
     if return_info:
         basket, info = basket
-    from ..ops.merge import resolve_merge_algo
+    from ..ops.merge import net_max_width
 
-    plan_L = (
-        L
-        if resolve_merge_algo(merge_algo).split(":")[0] in ("pallas", "bitonic")
-        else None
-    )
-    plan = graph.merge_plan(None, L=plan_L)
+    net = net_max_width(merge_algo)
+    plan = graph.merge_plan(None, L=L if net else None, net_width=net)
+    hub_sub = max((net - 1) // L, 1) if net else None
     buckets = device_plan(plan, n)
     damping_d = jnp.float32(damping)
     for _ in range(combine_passes):
         basket = _combine_pass(
-            basket, buckets, damping_d, L, n, elem_budget, algo=merge_algo
+            basket, buckets, damping_d, L, n, elem_budget, algo=merge_algo,
+            hub_sub=hub_sub,
         )
     # dangling nodes keep their walk basket {v: 1.0}
     # (mccompletepathv2.h:213-214: factor = 1.0, no successor contributions).

@@ -69,6 +69,24 @@ MIN_NETWORK_WIDTH = 256
 # VMEM.  Wider buckets fall back to the XLA sort pipeline.
 MAX_PALLAS_WIDTH = 8192
 
+# Hub (hierarchical) merge: intermediate per-group top-M keeps M =
+# HUB_TOP_M_FACTOR * L candidates.  The factor is the precision headroom of
+# the two-stage truncation (see _hub_merge_chunk); 2 is measured safe on
+# power-law graphs (quality eval unchanged vs the flat merge to 4 decimals)
+# and keeps the reduction fan-in at (net_width // 2L) ~ 40.
+HUB_TOP_M_FACTOR = int(os.environ.get("PPR_HUB_TOP_M_FACTOR", "2"))
+
+
+def net_max_width(algo: str | None) -> int | None:
+    """Effective sorting-network width cap of the resolved pipeline, or
+    None when the pipeline is the plain XLA sort (no width cap)."""
+    algo = resolve_merge_algo(algo)
+    max_w = MAX_PALLAS_WIDTH
+    if ":" in algo:
+        algo, cap_s = algo.split(":", 1)
+        max_w = min(max_w, int(cap_s))
+    return max_w if algo in ("pallas", "bitonic") else None
+
 
 def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
@@ -211,6 +229,91 @@ def _bucket_candidates(
     return ids, scores, post_scale
 
 
+def _hub_merge_chunk(
+    basket: Baskets,
+    rows: jax.Array,  # int32[C]
+    succ: jax.Array,  # int32[C, cap]
+    damping: jax.Array,
+    L: int,
+    mode: str,
+    algo: str,
+    sub: int,
+) -> Baskets:
+    """Hierarchical merge for hub rows (out-degree > ``sub``).
+
+    A flat hub row's candidate list is ``cap * L`` wide — at soc-LJ-class
+    degrees that is a multi-megabyte single-row sort, the one program shape
+    the TPU backend handles worst (and, at 4.8M nodes, the shape that
+    reproducibly kernel-faulted the v5e worker).  Instead the row's
+    successors are split into groups of ``sub`` (chosen so a group's
+    candidates fill one network-width row), each group merges to an
+    intermediate top-M (M = HUB_TOP_M_FACTOR * L), and the per-group
+    partial lists are tree-reduced with the same kernel until one final
+    merge (with the self entry) yields the top-L — every sort the row ever
+    takes is a ``<= net_width`` Pallas/bitonic network row BY CONSTRUCTION.
+
+    Divergence from the flat merge (include/grank.h:96-126 does one exact
+    accumulate-then-truncate): an id outside every group's top-M but inside
+    the exact top-L can be lost.  With M = 2L the id's total must beat the
+    L-th exact score while each group share sits below ~2L deeper partial
+    scores — measured on power-law graphs (1M-4.8M nodes) the final
+    baskets' eval stats match the flat merge to 4 decimals.  The flat path
+    stays available via merge_algo="sort" (no width cap, bit-exact
+    reference semantics).
+    """
+    c, cap = succ.shape
+    g = -(-cap // sub)
+    if g * sub > cap:
+        succ = jnp.pad(
+            succ, ((0, 0), (0, g * sub - cap)), constant_values=SENTINEL
+        )
+    deg = jnp.sum(succ >= 0, axis=-1).astype(jnp.float32)
+    factor = damping / jnp.maximum(deg, 1.0)  # [C]
+    sg = succ.reshape(c * g, sub)
+    valid = sg >= 0
+    safe = jnp.where(valid, sg, 0)
+    cand_ids = basket.ids[safe]  # [C*g, sub, Lb]
+    cand_scores = basket.scores[safe]
+    slot_valid = valid[..., None] & (cand_ids >= 0)
+    cand_ids = jnp.where(slot_valid, cand_ids, SENTINEL).reshape(c * g, -1)
+    cand_scores = jnp.where(slot_valid, cand_scores, 0.0).reshape(c * g, -1)
+    if mode == "grank":
+        # the per-successor scale commutes with the merge tree; the self
+        # entry joins at the final level only
+        cand_scores = cand_scores * jnp.repeat(factor, g)[:, None]
+        self_scores = jnp.broadcast_to(1.0 - damping, (c,)).astype(jnp.float32)
+        post_scale = jnp.ones((c,), dtype=jnp.float32)
+    elif mode == "mc_combine":
+        self_scores = (1.0 / factor).astype(jnp.float32)
+        post_scale = factor.astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown merge mode {mode!r}")
+    m = min(max(HUB_TOP_M_FACTOR, 1) * L, sub * basket.width)
+    part = _merge_rows(cand_ids, cand_scores, m, algo)
+    pids = part.ids.reshape(c, g * m)
+    pscs = part.scores.reshape(c, g * m)
+    # tree-reduce partial top-M lists until one final network row fits
+    while g * m > sub * L:
+        gg = max(2, (sub * L) // m)
+        g2 = -(-g // gg)
+        pad_cols = g2 * gg * m - g * m
+        if pad_cols:
+            pids = jnp.pad(
+                pids, ((0, 0), (0, pad_cols)), constant_values=SENTINEL
+            )
+            pscs = jnp.pad(pscs, ((0, 0), (0, pad_cols)))
+        part = _merge_rows(
+            pids.reshape(c * g2, gg * m), pscs.reshape(c * g2, gg * m), m, algo
+        )
+        g = g2
+        pids = part.ids.reshape(c, g * m)
+        pscs = part.scores.reshape(c, g * m)
+    ids_f = jnp.concatenate([pids, rows[:, None].astype(jnp.int32)], axis=-1)
+    scs_f = jnp.concatenate([pscs, self_scores[:, None]], axis=-1)
+    out = _merge_rows(ids_f, scs_f, L, algo)
+    return Baskets(out.ids, out.scores * post_scale[:, None])
+
+
 def merge_bucket(
     basket: Baskets | None,
     rows: jax.Array,
@@ -221,6 +324,7 @@ def merge_bucket(
     compute_diff: bool = False,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """Merged top-L baskets for one degree bucket, plus per-row L1 diff.
 
@@ -234,11 +338,17 @@ def merge_bucket(
 
     Rows padded with out-of-range ids produce garbage that callers drop via
     scatter ``mode='drop'``; callers mask their diff via ``rows < N``.
+
+    ``hub_sub`` routes buckets with cap > hub_sub through the hierarchical
+    hub merge (:func:`_hub_merge_chunk`) — set it to the largest
+    width-aligned cap when the plan was built with ``net_width``
+    (graph.merge_plan), so no sort row ever exceeds the network width.
     """
     if algo is None:
         algo = resolve_merge_algo(None)
     c = rows.shape[0]
     d = succ_flat.shape[0] // max(c, 1)
+    hub = hub_sub is not None and d > hub_sub and basket is not None
     width = 1 + (d if basket is None else d * basket.width)
     chunk = int(max(1, min(c, elem_budget // max(width, 1))))
     n_chunks = -(-c // chunk)
@@ -255,11 +365,16 @@ def merge_bucket(
         succ_c = jax.lax.dynamic_slice(
             flat_p, (start * d,), (chunk * d,)
         ).reshape(chunk, d)
-        ids, scores, post = _bucket_candidates(
-            basket, rows_c, succ_c, damping, mode
-        )
-        new = _merge_rows(ids, scores, L, algo)
-        new = Baskets(new.ids, new.scores * post[:, None])
+        if hub:
+            new = _hub_merge_chunk(
+                basket, rows_c, succ_c, damping, L, mode, algo, hub_sub
+            )
+        else:
+            ids, scores, post = _bucket_candidates(
+                basket, rows_c, succ_c, damping, mode
+            )
+            new = _merge_rows(ids, scores, L, algo)
+            new = Baskets(new.ids, new.scores * post[:, None])
         if compute_diff and basket is not None:
             safe_rows = jnp.minimum(rows_c, basket.ids.shape[0] - 1)
             old_c = Baskets(basket.ids[safe_rows], basket.scores[safe_rows])
@@ -296,6 +411,7 @@ def merge_sweep(
     out_basket: Baskets | None = None,
     elem_budget: int = DEFAULT_ELEM_BUDGET,
     algo: str | None = None,
+    hub_sub: int | None = None,
 ) -> Tuple[Baskets, jax.Array]:
     """One full merge sweep over a bucket list (one partition, or all nodes).
 
@@ -311,7 +427,7 @@ def merge_sweep(
         new, diff = merge_bucket(
             basket, b.rows, b.succ_flat, damping, L, mode=mode,
             compute_diff=compute_diff and basket is not None,
-            elem_budget=elem_budget, algo=algo,
+            elem_budget=elem_budget, algo=algo, hub_sub=hub_sub,
         )
         # Scatter each bucket's rows as soon as they are computed (reads
         # still come from the unmodified ``basket`` value — bucket row sets

@@ -115,11 +115,18 @@ def run_scale(
     out["scale_full_max_out_degree"] = int(deg.max())
     out["scale_full_dangling_nodes"] = int((deg == 0).sum())
 
+    from approximated_personalized_pagerank_tpu.ops.merge import net_max_width
+
+    net = net_max_width(None)  # the default engine's network width
     t0 = time.time()
     part = graph.partition
-    plans = [graph.merge_plan(0, L=L), graph.merge_plan(1, L=L)]
+    plans = [
+        graph.merge_plan(0, L=L, net_width=net),
+        graph.merge_plan(1, L=L, net_width=net),
+    ]
     if not skip_mc:
-        graph.merge_plan(None, L=mc_l)  # MC combine plan, cached with the rest
+        # MC combine plan, cached with the rest
+        graph.merge_plan(None, L=mc_l, net_width=net)
     out["scale_full_prep_s"] = round(time.time() - t0, 1)
     log(
         f"[prep] partition sizes {int((part == 0).sum())}/{int((part == 1).sum())}, "

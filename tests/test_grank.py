@@ -8,6 +8,7 @@ import pytest
 from approximated_personalized_pagerank_tpu import (
     Graph,
     grank,
+    grank_baskets,
     ppr_single_source,
 )
 
@@ -184,3 +185,56 @@ def test_device_loop_matches_host_loop(rng):
         host = grank_baskets(g, 5, 10, 25, 0.85, tol, host_loop=True)
         assert np.asarray(dev.ids).tolist() == np.asarray(host.ids).tolist()
         assert np.allclose(np.asarray(dev.scores), np.asarray(host.scores))
+
+
+def test_hub_merge_matches_flat_merge(rng):
+    # Hub rows (deg > the largest network-aligned cap) run the hierarchical
+    # merge (ops/merge._hub_merge_chunk).  Forcing a tiny network width
+    # (bitonic:512, L=40 -> sub=12) routes most rows through it; results
+    # must match the flat exact pipeline (merge_algo="sort") except at
+    # score-tie boundaries.
+    n = 200
+    src = np.concatenate(
+        [np.zeros(120, np.int64), rng.integers(1, n, 500)]
+    )
+    dst = rng.integers(0, n, 620)
+    g = Graph.from_edges(src, dst, num_nodes=n)
+    assert int(g.out_degree.max()) > 100
+    flat = grank_baskets(g, 20, 40, 30, 0.85, 1e-6, merge_algo="sort")
+    hier = grank_baskets(g, 20, 40, 30, 0.85, 1e-6, merge_algo="bitonic:512")
+    fi, fs = np.asarray(flat.ids), np.asarray(flat.scores)
+    hi, hs = np.asarray(hier.ids), np.asarray(hier.scores)
+    same = sum(
+        set(a[a >= 0]) == set(b[b >= 0]) for a, b in zip(fi, hi)
+    )
+    assert same >= n - 2
+    for r in range(n):
+        d1 = dict(zip(fi[r].tolist(), fs[r].tolist()))
+        d2 = dict(zip(hi[r].tolist(), hs[r].tolist()))
+        for k in set(d1) & set(d2):
+            if k >= 0:
+                assert abs(d1[k] - d2[k]) < 1e-6
+
+
+def test_hub_merge_untruncated_same_as_pagerank(rng):
+    # With L=|V| the hub hierarchy's intermediate top-M holds everything, so
+    # the hierarchical merge is EXACT — the sameAsPagerank oracle must hold
+    # through the hub path (test/grankTest.cc:285-379 tier).
+    n = 60
+    src = np.concatenate([np.zeros(80, np.int64), rng.integers(1, n, 200)])
+    dst = rng.integers(0, n, 280)
+    g = Graph.from_edges(src, dst, num_nodes=n)
+    from approximated_personalized_pagerank_tpu.models.ppr_single_source import (
+        ppr_single_source_batch,
+    )
+
+    full = grank_baskets(g, n, n, 100, 0.85, -1.0, merge_algo="bitonic:512")
+    srcs = np.arange(12, dtype=np.int32)
+    exact = np.asarray(ppr_single_source_batch(g, srcs, 100, 0.85, 1e-9))
+    fi, fs = np.asarray(full.ids[:12]), np.asarray(full.scores[:12])
+    for r in range(12):
+        vec = np.zeros(n)
+        for i, s in zip(fi[r], fs[r]):
+            if i >= 0:
+                vec[int(i)] = s
+        assert np.abs(vec - exact[r]).max() < 1e-4
