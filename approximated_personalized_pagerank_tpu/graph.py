@@ -26,6 +26,7 @@ Also computed here (host-side, one-off graph prep):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Hashable, Iterable, List, Mapping, Sequence, Tuple
 
 import numpy as np
@@ -34,6 +35,20 @@ __all__ = ["Graph", "EllBucket", "MergePlan", "load_csv_graph"]
 
 # Sentinel for "no node" in padded index matrices / basket slots.
 SENTINEL = -1
+
+# Max rows per ELL bucket.  A bucket's merged [rows, L] output materializes
+# before its scatter into the basket arrays (ops/merge.merge_sweep); at
+# north-star scale an unsplit low-degree bucket holds millions of rows and
+# its output buffer alone is ~GBs — measured the difference between the
+# big partition's sweep fitting a 16 GB v5e and crashing the worker.
+# 2^18 rows bound the buffer at ~2 * L * 2^18 * 4 B (~210 MB at L=100)
+# while adding only a handful of same-shape program segments.
+MAX_BUCKET_ROWS = int(os.environ.get("PPR_MAX_BUCKET_ROWS", str(1 << 18)))
+
+# Bump when merge_plan's bucket layout changes for identical arguments, so
+# pickled graphs (whose _plans cache ships with them) are not served with
+# stale layouts (examples/run_scale.py embeds this in its cache key).
+PLAN_VERSION = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -380,22 +395,30 @@ class Graph:
         if nodes.size:
             caps = _assign_caps(deg, L, net_width)
             for cap in np.unique(caps):
-                sel = nodes[caps == cap]
+                all_sel = nodes[caps == cap]
                 cap = int(cap)
-                succ = np.full((sel.size, cap), SENTINEL, dtype=np.int32)
-                # Vectorized padded gather of each row's successor slice.
-                starts = self.indptr[sel].astype(np.int64)
-                lens = self.out_degree[sel].astype(np.int64)
-                rows_rep = np.repeat(np.arange(sel.size, dtype=np.int64), lens)
-                col_rep = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
-                    np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
-                )
-                succ[rows_rep, col_rep] = self.indices[
-                    np.repeat(starts, lens) + col_rep
-                ]
-                buckets.append(
-                    EllBucket(cap=cap, rows=sel.astype(np.int32), succ=succ)
-                )
+                # Split giant buckets so each segment's merged output buffer
+                # stays small (see MAX_BUCKET_ROWS).
+                for s0 in range(0, all_sel.size, MAX_BUCKET_ROWS):
+                    sel = all_sel[s0 : s0 + MAX_BUCKET_ROWS]
+                    succ = np.full((sel.size, cap), SENTINEL, dtype=np.int32)
+                    # Vectorized padded gather of each row's successor slice.
+                    starts = self.indptr[sel].astype(np.int64)
+                    lens = self.out_degree[sel].astype(np.int64)
+                    rows_rep = np.repeat(
+                        np.arange(sel.size, dtype=np.int64), lens
+                    )
+                    col_rep = np.arange(
+                        int(lens.sum()), dtype=np.int64
+                    ) - np.repeat(
+                        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+                    )
+                    succ[rows_rep, col_rep] = self.indices[
+                        np.repeat(starts, lens) + col_rep
+                    ]
+                    buckets.append(
+                        EllBucket(cap=cap, rows=sel.astype(np.int32), succ=succ)
+                    )
         plan = MergePlan(buckets=tuple(buckets), dangling_rows=dangling)
         self._plans[cache_key] = plan
         return plan

@@ -76,6 +76,11 @@ MAX_PALLAS_WIDTH = 8192
 # and keeps the reduction fan-in at (net_width // 2L) ~ 40.
 HUB_TOP_M_FACTOR = int(os.environ.get("PPR_HUB_TOP_M_FACTOR", "2"))
 
+# Max iterations per lax.map segment of a bucket's chunk loop — the guard
+# for a v5e backend fault class (see merge_bucket).  16 sits at a 1.5x
+# margin below the empirically mapped >= 25-iteration trigger.
+MAX_MAP_CHUNKS = int(os.environ.get("PPR_MAX_MAP_CHUNKS", "16"))
+
 
 def net_max_width(algo: str | None) -> int | None:
     """Effective sorting-network width cap of the resolved pipeline, or
@@ -386,12 +391,33 @@ def merge_bucket(
     if n_chunks == 1:
         out_ids, out_scores, diff = one_chunk(jnp.int32(0))
     else:
-        out_ids, out_scores, diff = jax.lax.map(
-            one_chunk, jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-        )
-        out_ids = out_ids.reshape(n_chunks * chunk, L)
-        out_scores = out_scores.reshape(n_chunks * chunk, L)
-        diff = diff.reshape(n_chunks * chunk)
+        # The chunk loop runs as SEGMENTED lax.maps of at most
+        # MAX_MAP_CHUNKS iterations each.  Empirically isolated on v5e
+        # (jax 0.9 / libtpu of this sandbox): a single lax.map of >= 25
+        # iterations whose body contains the W=512 fused merge kernel
+        # produces a compiled program that hard-crashes the TPU worker
+        # ("kernel fault") regardless of the data — the same shape sliced
+        # from different rows crashes identically, while <= 24 iterations
+        # or other widths (W=1024 at 63 iterations) run clean.  Several
+        # short maps compile to the same kernels and sidestep the faulting
+        # program class by construction; see docs/PERF.md.
+        segs_i, segs_s, segs_d = [], [], []
+        for s0 in range(0, n_chunks, MAX_MAP_CHUNKS):
+            seg = min(MAX_MAP_CHUNKS, n_chunks - s0)
+            starts = (s0 + jnp.arange(seg, dtype=jnp.int32)) * chunk
+            if seg == 1:
+                i_, s_, d_ = one_chunk(starts[0])
+                segs_i.append(i_)
+                segs_s.append(s_)
+                segs_d.append(d_)
+            else:
+                i_, s_, d_ = jax.lax.map(one_chunk, starts)
+                segs_i.append(i_.reshape(seg * chunk, L))
+                segs_s.append(s_.reshape(seg * chunk, L))
+                segs_d.append(d_.reshape(seg * chunk))
+        out_ids = jnp.concatenate(segs_i, axis=0)
+        out_scores = jnp.concatenate(segs_s, axis=0)
+        diff = jnp.concatenate(segs_d, axis=0)
 
     if pad:
         out_ids = out_ids[:c]

@@ -23,10 +23,15 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# device count: max of --shards (parsed before jax initialises)
+_n_dev = 8
+for _i, _a in enumerate(sys.argv):
+    if _a == "--shards" and _i + 1 < len(sys.argv):
+        _n_dev = max(int(x) for x in sys.argv[_i + 1].split(","))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + f" --xla_force_host_platform_device_count={_n_dev}"
     ).strip()
 
 import jax
@@ -53,13 +58,17 @@ def main():
     ap.add_argument("--half-sweeps", type=int, default=4)
     ap.add_argument("--L", type=int, default=100)
     ap.add_argument("--K", type=int, default=50)
+    ap.add_argument(
+        "--shards", type=str, default="1,2,4,8",
+        help="comma-separated shard counts (max sets the virtual device count)",
+    )
     args = ap.parse_args()
 
     graph = powerlaw_graph(args.nodes, args.edges, seed=11)
     print(f"graph: {graph} max_deg={int(graph.out_degree.max())}", flush=True)
     results = []
     base = None
-    for d in (1, 2, 4, 8):
+    for d in [int(x) for x in args.shards.split(",")]:
         # warm-up compiles the D-shard program (excluded from timing)
         ring_grank_baskets(
             graph, args.K, args.L, 1, 0.85, -1.0, n_shards=d

@@ -87,13 +87,15 @@ def run_scale(
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scale_cache"
     )
+    from approximated_personalized_pagerank_tpu.graph import PLAN_VERSION
     from approximated_personalized_pagerank_tpu.utils.synthetic import (
         GENERATOR_VERSION,
     )
 
     cache_path = os.path.join(
         cache_dir,
-        f"graph_v{GENERATOR_VERSION}_{nodes}_{edges}_{seed}_{locality}_{L}_{mc_l}.pkl",
+        f"graph_v{GENERATOR_VERSION}p{PLAN_VERSION}"
+        f"_{nodes}_{edges}_{seed}_{locality}_{L}_{mc_l}.pkl",
     )
     graph = None
     if os.path.exists(cache_path):
