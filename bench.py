@@ -51,6 +51,10 @@ from approximated_personalized_pagerank_tpu import (
     load_eat_graph,
     mccompletepathv2_baskets,
 )
+from approximated_personalized_pagerank_tpu.models.benchmark import (
+    benchmark_sampled,
+    sample_result,
+)
 
 REFERENCE_GRANK_MS = 40957.0  # serial C++ grank, this host (see docstring)
 REFERENCE_GRANK_MULTI_MS = 22636.0
@@ -111,7 +115,7 @@ def bench_eat(graph, dataset):
     elapsed = time.time() - t0
     iters_ran = info["iterations_ran"]
 
-    stats = benchmark_algorithm(baskets, graph, 200, True, seed=0)
+    g_sample = sample_result(baskets, graph, 200, True, seed=0)
 
     # MCCompletePathV2 with the reference driver's config
     # (src/main.cc:64: K=50, L=200, R=1000, damping 0.85).
@@ -124,7 +128,10 @@ def bench_eat(graph, dataset):
     )
     _sync(mc.ids)
     mc_elapsed = time.time() - t0
-    mc_stats = benchmark_algorithm(mc, graph, 200, True, seed=0)
+    mc_sample = sample_result(mc, graph, 200, True, seed=0)
+
+    # ONE shared oracle pass evaluates both results (same sampled sources).
+    stats, mc_stats = benchmark_sampled([g_sample, mc_sample], graph)
 
     extra = {
         "dataset": dataset,
@@ -279,7 +286,10 @@ def bench_scale_full():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.run_scale(test_nodes=50)
+    # 32 test sources = exactly one oracle batch (the v5e-safe batch cap):
+    # the shared-oracle eval then costs ONE power-iteration pass for both
+    # algorithms' stats (~5.5 min at 4.8M nodes).
+    return mod.run_scale(test_nodes=32)
 
 
 def main():

@@ -37,10 +37,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
+# NO persistent compile cache here: jax 0.9's XLA-CPU AOT deserializer
+# segfaults on entries compiled with different host-CPU features (same
+# class of crash tests/conftest.py documents).  Cold compiles only.
 
 import numpy as np
 

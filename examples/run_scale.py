@@ -35,7 +35,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from approximated_personalized_pagerank_tpu import (
-    benchmark_algorithm,
     grank_baskets,
     mccompletepathv2_baskets,
 )
@@ -174,23 +173,17 @@ def run_scale(
         f"({out['scale_full_merges_per_s'] / 1e6:.0f}M merges/s)"
     )
 
-    # --- quality eval vs the exact oracle ---
-    t0 = time.time()
-    stats = benchmark_algorithm(baskets, graph, test_nodes, True, seed=0)
-    out["scale_full_eval_s"] = round(time.time() - t0, 1)
-    out["scale_full_jaccard"] = round(stats["jaccard average"], 4)
-    out["scale_full_jaccard_min"] = round(stats["jaccard min"], 4)
-    out["scale_full_kendall"] = round(stats["kendall average"], 4)
-    out["scale_full_recall"] = round(stats["recall average"], 4)
-    log(
-        f"[eval] jaccard {stats['jaccard average']:.4f} "
-        f"recall {stats['recall average']:.4f} "
-        f"kendall {stats['kendall average']:.4f} "
-        f"({out['scale_full_eval_s']}s, {test_nodes} strict sources)"
+    # --- sample the eval rows now (KBs to host), free the full baskets ---
+    from approximated_personalized_pagerank_tpu.models.benchmark import (
+        benchmark_sampled,
+        sample_result,
     )
+
+    g_sample = sample_result(baskets, graph, test_nodes, True, seed=0)
     del baskets
 
     # --- MCCompletePathV2, full (walks + combine) ---
+    mc_sample = None
     if not skip_mc:
         t0 = time.time()
         mc, mc_info = mccompletepathv2_baskets(
@@ -213,14 +206,34 @@ def run_scale(
             f"({out['scale_full_mc_walk_steps_per_s'] / 1e6:.1f}M steps/s, "
             f"abandoned {out['scale_full_mc_abandoned_frac']:.2%})"
         )
-        t0 = time.time()
-        mc_stats = benchmark_algorithm(mc, graph, test_nodes, True, seed=0)
+        mc_sample = sample_result(mc, graph, test_nodes, True, seed=0)
+        del mc
+
+    # --- quality eval: ONE shared oracle pass for both algorithms ---
+    t0 = time.time()
+    all_stats = benchmark_sampled(
+        [g_sample] + ([mc_sample] if mc_sample is not None else []), graph
+    )
+    stats = all_stats[0]
+    out["scale_full_eval_s"] = round(time.time() - t0, 1)
+    out["scale_full_jaccard"] = round(stats["jaccard average"], 4)
+    out["scale_full_jaccard_min"] = round(stats["jaccard min"], 4)
+    out["scale_full_kendall"] = round(stats["kendall average"], 4)
+    out["scale_full_recall"] = round(stats["recall average"], 4)
+    log(
+        f"[eval] jaccard {stats['jaccard average']:.4f} "
+        f"recall {stats['recall average']:.4f} "
+        f"kendall {stats['kendall average']:.4f} "
+        f"({out['scale_full_eval_s']}s shared-oracle, "
+        f"{test_nodes} strict sources)"
+    )
+    if mc_sample is not None:
+        mc_stats = all_stats[1]
         out["scale_full_mc_jaccard"] = round(mc_stats["jaccard average"], 4)
         out["scale_full_mc_recall"] = round(mc_stats["recall average"], 4)
         log(
             f"[mc eval] jaccard {mc_stats['jaccard average']:.4f} "
-            f"recall {mc_stats['recall average']:.4f} "
-            f"({round(time.time() - t0, 1)}s)"
+            f"recall {mc_stats['recall average']:.4f} (shared oracle)"
         )
     return out
 
