@@ -383,6 +383,33 @@ def _horizon(total: int, slots: int, damping: float, sigmas: float = 1.5) -> int
     return max(4, int(math.ceil(mean + sigmas * std)) + 8)
 
 
+def _pick_slots(total: int, damping: float, unroll: int) -> int:
+    """Slot count minimizing the trace engine's pow2-padded merge width.
+
+    The trace row is ``macro*unroll*slots`` wide plus ONE source column, and
+    the merge network pads to the next power of two — at R=200 the naive 16
+    slots give 4*32*16+1 = 2049 -> a 4096-wide Mosaic kernel whose compile
+    (and per-process load on the remote backend) costs ~4x the 2048 one the
+    same horizon fits with 15 slots.  Searched at plan time (host, trivial);
+    shared by BOTH engines so trace and counts keep drawing identical PRNG
+    streams (the bitwise cross-check in tests/test_walk.py).
+    """
+    cap = int(min(16, max(total, 1)))
+    best, best_key = cap, None
+    for slots in range(cap, max(cap - 9, 0), -1):
+        steps = _horizon(total, slots, damping)
+        macro = -(-steps // max(unroll, 1))
+        width = macro * unroll * slots
+        padded = 1 << width.bit_length()  # next_pow2(width + 1)
+        # prefer the narrowest padded kernel, then the most parallel slots
+        # (raw width is padded away anyway; fewer slots only deepens the
+        # sequential stepping loop)
+        key = (padded, -slots, width)
+        if best_key is None or key < best_key:
+            best, best_key = slots, key
+    return best
+
+
 def _walk_plan(
     n: int,
     iterations: int,
@@ -390,14 +417,16 @@ def _walk_plan(
     source_chunk: int | None,
     max_steps: int | None,
     slots: int | None,
+    unroll: int = 32,
 ):
     """Host-side cohort sizing for the counts engine: (chunk, slots, total,
     step cap)."""
     total = int(iterations * damping)  # floor(R * damping) thinned walks
     if slots is None:
         # With work stealing more slots only add parallelism (no straggler
-        # tax); 16 balances scatter-cohort size against count-row memory.
-        slots = int(min(16, max(total, 1)))
+        # tax); the picker keeps the sibling trace engine's merge kernel at
+        # the narrowest power-of-two width the horizon fits.
+        slots = _pick_slots(total, damping, unroll)
     slots = max(1, min(slots, max(total, 1)))
     if max_steps is None:
         max_steps = _horizon(total, slots, damping)
@@ -430,7 +459,7 @@ def _trace_plan(
     """
     total = int(iterations * damping)
     if slots is None:
-        slots = int(min(16, max(total, 1)))
+        slots = _pick_slots(total, damping, unroll)
     slots = max(1, min(slots, max(total, 1)))
     max_steps = _horizon(total, slots, damping)
     macro_steps = -(-max_steps // max(unroll, 1))
@@ -489,9 +518,15 @@ def walk_trace_basket_chunks(
         row_chunk = source_chunk
     else:
         indices = dg.indices
+        # Clamp at the actual row count (a larger row_chunk would PAD rows
+        # up to it — at Eat that minted a 585-row kernel program where the
+        # natural 512-row one exists) and keep a multiple of the kernel's
+        # 8-row sublane tile so Mosaic never sees a ragged final tile.
         row_chunk = int(
             max(1, min(source_chunk, (1 << 22) // max(width + 1, 1)))
         )
+        if row_chunk >= 8:
+            row_chunk -= row_chunk % 8
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
     root = jax.random.PRNGKey(seed)

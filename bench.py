@@ -103,8 +103,12 @@ def bench_eat(graph, dataset):
     """Canonical GRank + MCCompletePathV2 on Eat with the auto engine
     (sparse: the measured fastest at 23k nodes, see ops/dense.py's
     crossover table)."""
+    # Warm up the EXACT program measured below (return_info=True adds the
+    # counter outputs to the traced program — warming without it left those
+    # programs to compile/load inside the timed region).
     t0 = time.time()
-    _sync(grank_baskets(graph, K, L, 2, DAMPING, TOL).ids)
+    wb, _ = grank_baskets(graph, K, L, 2, DAMPING, TOL, return_info=True)
+    _sync(wb.ids)
     compile_s = time.time() - t0
 
     t0 = time.time()
@@ -120,7 +124,10 @@ def bench_eat(graph, dataset):
     # MCCompletePathV2 with the reference driver's config
     # (src/main.cc:64: K=50, L=200, R=1000, damping 0.85).
     t0 = time.time()
-    _sync(mccompletepathv2_baskets(graph, 50, 200, 1000, DAMPING, seed=0).ids)
+    wmc, _ = mccompletepathv2_baskets(
+        graph, 50, 200, 1000, DAMPING, seed=0, return_info=True
+    )
+    _sync(wmc.ids)
     mc_compile_s = time.time() - t0
     t0 = time.time()
     mc, mc_info = mccompletepathv2_baskets(
@@ -164,7 +171,10 @@ def bench_dense_eat(graph):
     """The dense MXU engine on the same canonical Eat config (kept for the
     measured-MFU report; the sparse engine overtakes it at ~16k+ nodes)."""
     t0 = time.time()
-    _sync(grank_baskets(graph, K, L, 2, DAMPING, TOL, engine="dense").ids)
+    wb, _ = grank_baskets(
+        graph, K, L, 2, DAMPING, TOL, engine="dense", return_info=True
+    )
+    _sync(wb.ids)
     compile_s = time.time() - t0
     t0 = time.time()
     baskets, info = grank_baskets(
@@ -197,7 +207,10 @@ def bench_ring(graph, sparse_wall_s=None):
 
     mesh = make_mesh(1)
     t0 = time.time()
-    _sync(ring_grank_baskets(graph, K, L, 2, DAMPING, TOL, mesh=mesh).ids)
+    wb, _ = ring_grank_baskets(
+        graph, K, L, 2, DAMPING, TOL, mesh=mesh, return_info=True
+    )
+    _sync(wb.ids)
     compile_s = time.time() - t0
     t0 = time.time()
     rb, rinfo = ring_grank_baskets(
@@ -229,7 +242,10 @@ def bench_scale():
     # GRank sparse: time SCALE_SWEEPS half-sweeps (tolerance<0 disables the
     # stop so exactly that many run; warm-up with the same program).
     t0 = time.time()
-    _sync(grank_baskets(graph, K, L, 1, DAMPING, -1.0, engine="sparse").ids)
+    wb, _ = grank_baskets(
+        graph, K, L, 1, DAMPING, -1.0, engine="sparse", return_info=True
+    )
+    _sync(wb.ids)
     compile_s = time.time() - t0
     t0 = time.time()
     baskets, info = grank_baskets(

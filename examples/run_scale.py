@@ -147,9 +147,14 @@ def run_scale(
 
     # --- GRank, sparse engine, canonical config ---
     t0 = time.time()
-    _sync(  # warm-up: compiles init + BOTH partitions' sweep programs
-        grank_baskets(graph, K, L, 2, damping, tolerance, engine="sparse").ids
+    # warm-up: compiles init + BOTH partitions' sweep programs — with
+    # return_info=True so the EXACT measured program (counter outputs
+    # included) is warm before the timed region.
+    wb, _ = grank_baskets(
+        graph, K, L, 2, damping, tolerance, engine="sparse", return_info=True
     )
+    _sync(wb.ids)
+    del wb
     out["scale_full_compile_s"] = round(time.time() - t0, 1)
     log(f"[grank] warm-up/compile {out['scale_full_compile_s']}s")
     t0 = time.time()
