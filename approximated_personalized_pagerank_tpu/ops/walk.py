@@ -448,14 +448,18 @@ def _trace_plan(
     num_nodes: int | None = None,
 ):
     """Host-side cohort sizing for the trace engine: (chunk, slots, total,
-    macro_steps, trace width).  The trace buffer is capped at ~32M int32
-    (~128MB); the chunk adapts to the per-source trace width.
+    macro_steps, trace width).  The trace buffer is capped at ~64M int32
+    (~256MB); the chunk adapts to the per-source trace width.
 
     Small graphs get small chunks: a chunk's while_loop runs until its
     SLOWEST source row exhausts its walk quota, so chunking limits how many
     rows idle behind a straggler hub.  Measured on Eat (23k nodes, R=1000):
     0.97 s at chunk 512 vs 1.30 s at the 32MB-derived 5461.  At 1M nodes
-    512 and 8192 tie (~31 s), so only sub-64k graphs take the small cap.
+    512 and 8192 tie in device time, so past 64k nodes the cap instead
+    MINIMIZES HOST DISPATCHES: each chunk is one execute RPC through the
+    (possibly remote) runtime, and at 4.8M nodes the difference between
+    586 chunks (cap 8192) and 147 (cap 32768) was the dominant wall-clock
+    noise in driver runs over a 3-46 MB/s tunnel.
     """
     total = int(iterations * damping)
     if slots is None:
@@ -465,8 +469,8 @@ def _trace_plan(
     macro_steps = -(-max_steps // max(unroll, 1))
     width = macro_steps * unroll * slots
     if source_chunk is None:
-        cap = 512 if (num_nodes is not None and num_nodes <= 65536) else 8192
-        source_chunk = int(max(8, min(cap, (32 << 20) // max(width, 1))))
+        cap = 512 if (num_nodes is not None and num_nodes <= 65536) else 32768
+        source_chunk = int(max(8, min(cap, (64 << 20) // max(width, 1))))
     return source_chunk, slots, total, macro_steps, width
 
 
@@ -527,6 +531,13 @@ def walk_trace_basket_chunks(
         )
         if row_chunk >= 8:
             row_chunk -= row_chunk % 8
+        # _trace_topl maps the merge kernel over ceil(chunk/row_chunk)
+        # segments; keep that map within the v5e kernel-fault guard
+        # (ops/merge.py MAX_MAP_CHUNKS — mapped Pallas loops >= ~25
+        # iterations fault the worker; 16 holds a 1.5x margin).
+        from .merge import MAX_MAP_CHUNKS
+
+        source_chunk = min(source_chunk, MAX_MAP_CHUNKS * row_chunk)
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
     root = jax.random.PRNGKey(seed)
