@@ -237,3 +237,51 @@ def test_stratified_trace_equals_counts_stream():
         ]
 
     assert rows(a) == rows(b)
+
+
+def test_pick_slots_minimizes_padded_width():
+    """The planner's slot choice must hit the narrowest pow2 merge width
+    the horizon fits, then maximize parallel slots (docs/PERF.md round 5:
+    network-kernel compile/load cost scales ~W^1.6)."""
+    from approximated_personalized_pagerank_tpu.ops.walk import (
+        _horizon,
+        _pick_slots,
+        _trace_plan,
+    )
+
+    for r in (50, 100, 200, 300, 1000):
+        total = int(r * 0.85)
+        slots = _pick_slots(total, 0.85, 32)
+        steps = _horizon(total, slots, 0.85)
+        macro = -(-steps // 32)
+        width = macro * 32 * slots
+        padded = 1 << width.bit_length()
+        # no slot count in the searched range does strictly better
+        for s2 in range(16, 7, -1):
+            st2 = _horizon(total, s2, 0.85)
+            m2 = -(-st2 // 32)
+            w2 = m2 * 32 * s2
+            assert (1 << w2.bit_length()) >= padded
+        # both engines' plans agree on the choice (bitwise stream parity)
+        _, t_slots, _, _, _ = _trace_plan(r, 0.85, None, None, 32)
+        assert t_slots == slots
+
+
+def test_trace_chunk_respects_fault_guard():
+    """source_chunk must keep _trace_topl's mapped kernel loop within
+    MAX_MAP_CHUNKS segments (the v5e kernel-fault guard)."""
+    from approximated_personalized_pagerank_tpu.ops.merge import MAX_MAP_CHUNKS
+    from approximated_personalized_pagerank_tpu.ops.walk import (
+        walk_trace_basket_chunks,
+    )
+
+    n = 600
+    g = Graph.from_dict({i: [(i + 1) % n, (i + 7) % n] for i in range(n)})
+    seen = 0
+    for s, top, v, a in walk_trace_basket_chunks(
+        g, 20, 200, 0.85, seed=1, source_chunk=4096
+    ):
+        rows = np.asarray(top.ids).shape[0]
+        assert rows <= 4096
+        seen += rows
+    assert seen == n
